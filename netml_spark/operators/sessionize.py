@@ -1,0 +1,166 @@
+"""Gap sessionization — the heart of the engine (reference parser.py:80-299).
+
+All variants are declarative window passes over ``(entity, ts)``:
+
+- ``sessionize``          : clean cumulative-sum gap sessionization. Pure
+                            Catalyst (lag + cumsum windows) — one shuffle on
+                            the entity key, whole-stage-codegen body.
+- ``sessionize_timeout``  : the reference's timeout split with its quirks
+                            (min-packets pre/post filters, trailing-segment
+                            discard) — still pure Catalyst.
+- ``subflows_interval``   : the reference's grid-aligned interval re-split
+                            (parser.py:209-299). The split anchor depends on
+                            grid arithmetic over previous splits — inherently
+                            sequential per entity — so it runs as a numpy
+                            loop inside ``applyInPandas`` (Arrow-batched, one
+                            group per entity-session, vectorized I/O).
+
+Scale notes (100 TB): the only wide exchange is hash partitioning by the
+entity key; every window uses the same partitioning so Catalyst reuses the
+exchange across the lag/cumsum/max passes (one shuffle total). Heavy-hitter
+*sources* do not skew these passes because the partition key is the
+fine-grained entity (doc_id); see operators/skew.py for salted fallbacks
+when a single entity is itself huge.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netml_spark.util import ts_seconds
+
+
+def _entity_window(entity_cols: Sequence[str], ts_col: str, order_cols: Sequence[str]):
+    return Window.partitionBy(*entity_cols).orderBy(ts_col, *order_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    entity_cols: Sequence[str] = ("doc_id",),
+    ts_col: str = "ts",
+    gap: float = 600.0,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign ``session_col``: cumulative count of gaps > ``gap`` seconds.
+
+    ``ts_col`` may be double epoch-seconds or timestamp (cast internally).
+    Clean semantics (no trailing discard): the streaming
+    ``session_window`` twin in streaming/session_stream.py matches this.
+    """
+    ts_d = ts_seconds(df, ts_col)
+    w = _entity_window(entity_cols, ts_col, order_cols)
+    gap_expr = ts_d - F.lag(ts_d).over(w)
+    brk = F.when(gap_expr > F.lit(float(gap)), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(session_col, F.sum(brk).over(w).cast("int"))
+
+
+def sessionize_timeout(
+    df: DataFrame,
+    entity_cols: Sequence[str] = ("doc_id",),
+    ts_col: str = "ts",
+    timeout: float = 600.0,
+    flow_pkts_thres: int = 2,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Reference-faithful timeout sessionization (parser.py:80-206).
+
+    Semantics transcribed (see oracle netml_ref.pcap2flows):
+      1. whole entities with < max(2, thres) rows dropped (parser.py:146)
+      2. rows sorted by (ts, *order_cols) per entity (parser.py:151)
+      3. split where gap > timeout (parser.py:165,174)
+      4. if the entity split at all, its trailing segment is discarded
+         (parser.py:188-193)
+      5. segments with < thres rows dropped (parser.py:197)
+
+    Implementation: three window functions over ONE partitioning (single
+    shuffle; Catalyst reuses the exchange), then a filter — fully native.
+    """
+    ts_d = ts_seconds(df, ts_col)
+    w = _entity_window(entity_cols, ts_col, order_cols)
+    wp = Window.partitionBy(*entity_cols)  # unbounded, for per-entity scalars
+
+    gap_expr = ts_d - F.lag(ts_d).over(w)
+    brk = F.when(gap_expr > F.lit(float(timeout)), F.lit(1)).otherwise(F.lit(0))
+    out = (
+        df.withColumn("_n_entity", F.count(F.lit(1)).over(wp))
+        .filter(F.col("_n_entity") >= max(2, flow_pkts_thres))
+        .withColumn(session_col, F.sum(brk).over(w).cast("int"))
+        .withColumn("_max_sid", F.max(session_col).over(wp))
+        # trailing-segment discard iff any split occurred
+        .filter((F.col("_max_sid") == 0) | (F.col(session_col) < F.col("_max_sid")))
+        .withColumn(
+            "_n_seg",
+            F.count(F.lit(1)).over(Window.partitionBy(*entity_cols, session_col)),
+        )
+        .filter(F.col("_n_seg") >= flow_pkts_thres)
+        .drop("_n_entity", "_max_sid", "_n_seg")
+    )
+    return out
+
+
+def subflows_interval(
+    df: DataFrame,
+    interval: float,
+    entity_cols: Sequence[str] = ("doc_id", "session_id"),
+    ts_col: str = "ts",
+    flow_pkts_thres: int = 2,
+    order_cols: Sequence[str] = ("seq",),
+    subflow_col: str = "subflow_id",
+) -> DataFrame:
+    """Grid-aligned interval re-split (reference parser.py:209-299).
+
+    Quirks preserved (pinned by tests vs the numpy oracle):
+      - segment anchor advances on the grid:
+        ``start += int((t - start)//interval)*interval`` (parser.py:258,270)
+      - a new segment's first element is *recorded at the grid-anchored
+        time*, so the next gap test compares against that synthetic time
+        (parser.py:256-263)
+      - trailing segment discarded iff any split occurred (parser.py:278-283)
+      - segments with < max(2, thres) rows dropped (parser.py:289-292).
+
+    Runs as ``applyInPandas`` per entity group: the loop is sequential in
+    the *splits* (rare) but array-driven otherwise; groups are Arrow batches,
+    no per-row Python at the Spark boundary.
+    """
+    interval = float(interval)
+    thres = max(2, int(flow_pkts_thres))
+    schema_fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in schema_fields]
+        + [f"`{subflow_col}` int"]
+    )
+    entity_cols = list(entity_cols)
+    sort_cols = [ts_col, *order_cols]
+
+    def split_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        t = pdf[ts_col].to_numpy(dtype=np.float64)
+        n = len(t)
+        sub_id = np.zeros(n, dtype=np.int32)
+        rec_time = start = t[0]
+        cur = 0
+        split_flow = False
+        for j in range(1, n):
+            if t[j] - rec_time > interval:
+                start += int((t[j] - start) // interval) * interval
+                cur += 1
+                rec_time = start
+                split_flow = True
+            else:
+                rec_time = t[j]
+            sub_id[j] = cur
+        pdf[subflow_col] = sub_id
+        if split_flow:
+            pdf = pdf[pdf[subflow_col] < cur]  # trailing-segment discard
+        # min-size filter per subflow
+        counts = pdf.groupby(subflow_col)[subflow_col].transform("size")
+        return pdf[counts >= thres]
+
+    return df.groupBy(*entity_cols).applyInPandas(split_group, schema=out_schema)

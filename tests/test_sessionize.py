@@ -1,0 +1,126 @@
+"""Parity: Spark sessionization vs numpy oracle (reference parser.py:80-299).
+
+Pins the reference quirks: min-packets pre/post filters, trailing-segment
+discard, grid-aligned interval restart (SURVEY.md §5.2 item 3).
+"""
+
+import numpy as np
+import pandas as pd
+
+from netml_spark import datagen
+from netml_spark.operators import sessionize, sessionize_timeout, subflows_interval
+from netml_spark.oracle import netml_ref
+
+
+def _oracle_segments(pdf, thres=2, timeout=600.0):
+    flows = datagen.oracle_flows(pdf)
+    return netml_ref.pcap2flows(flows, flow_pkts_thres=thres, timeout=timeout)
+
+
+def _spark_segments(df, key_cols=("doc_id",)):
+    rows = df.select("doc_id", "session_id", "ts", "seq", "token").collect()
+    segs = {}
+    for r in rows:
+        segs.setdefault((r.doc_id, r.session_id), []).append((r.ts, r.seq, r.token))
+    # re-key sessions to per-doc ordinals: Spark keeps raw cumsum ids after
+    # dropping short middle segments; the oracle list is ordinal by nature
+    by_doc = {}
+    for (doc, sid), v in segs.items():
+        by_doc.setdefault(doc, []).append((sid, v))
+    out = {}
+    for doc, lst in by_doc.items():
+        for k, (_, v) in enumerate(sorted(lst)):
+            v.sort()  # (ts, seq) order — seq is the tie-breaker
+            out[(doc, k)] = (np.array([t for t, _, _ in v]), np.array([s for _, _, s in v]))
+    return out
+
+
+def test_sessionize_timeout_matches_oracle(spark, token_events_df, token_events_pdf):
+    got = sessionize_timeout(
+        token_events_df, entity_cols=("doc_id",), ts_col="ts",
+        timeout=600.0, flow_pkts_thres=2, order_cols=("seq",),
+    )
+    spark_segs = _spark_segments(got)
+    oracle = _oracle_segments(token_events_pdf)
+    # oracle segments keyed by (doc_id, per-doc segment ordinal)
+    ora = {}
+    ordinal = {}
+    for fid, t, s in oracle:
+        k = ordinal.get(fid, 0)
+        ordinal[fid] = k + 1
+        ora[(fid, k)] = (t, s)
+    # session ids in spark are the cumsum ids of *kept* segments — for a doc
+    # with a discarded trailing segment the kept ids are still 0..n-1
+    assert set(spark_segs.keys()) == set(ora.keys())
+    for k in ora:
+        np.testing.assert_allclose(spark_segs[k][0], ora[k][0])
+        np.testing.assert_array_equal(spark_segs[k][1], ora[k][1])
+
+
+def test_sessionize_clean_counts(spark, token_events_df, token_events_pdf):
+    got = sessionize(token_events_df, ("doc_id",), "ts", gap=600.0, order_cols=("seq",))
+    pdf = got.select("doc_id", "session_id").toPandas()
+    # oracle: clean cumsum per doc
+    exp = []
+    for doc_id, g in token_events_pdf.sort_values(["doc_id", "ts", "seq"]).groupby("doc_id"):
+        t = g["ts"].to_numpy()
+        sid = np.concatenate([[0], np.cumsum(np.diff(t) > 600.0)])
+        exp.append(pd.DataFrame({"doc_id": doc_id, "session_id": sid.astype("int32")}))
+    exp = pd.concat(exp)
+    got_counts = pdf.groupby(["doc_id", "session_id"]).size().sort_index()
+    exp_counts = exp.groupby(["doc_id", "session_id"]).size().sort_index()
+    pd.testing.assert_series_equal(got_counts, exp_counts)
+
+
+def test_subflows_interval_matches_oracle(spark, token_events_df, token_events_pdf):
+    # first the timeout pass, then the grid-aligned interval re-split, as the
+    # reference pipeline does (parser.py:691-735)
+    sess = sessionize_timeout(
+        token_events_df, ("doc_id",), "ts", 600.0, 2, order_cols=("seq",)
+    )
+    interval = 5.0
+    got = subflows_interval(
+        sess, interval, entity_cols=("doc_id", "session_id"), ts_col="ts",
+        flow_pkts_thres=2, order_cols=("seq",),
+    )
+    rows = got.select("doc_id", "session_id", "subflow_id", "ts", "token").collect()
+    segs = {}
+    for r in rows:
+        segs.setdefault((r.doc_id, r.session_id, r.subflow_id), []).append((r.ts, r.token))
+
+    oracle_sess = _oracle_segments(token_events_pdf)
+    oracle_subs = netml_ref.flows2subflows(oracle_sess, interval=interval, flow_pkts_thres=2)
+    # compare multiset of (times tuple) segments per doc
+    def norm(d):
+        out = {}
+        for k, v in d.items():
+            out.setdefault(k[0], []).append(tuple(np.round(np.sort([t for t, _ in v]), 9)))
+        return {k: sorted(v) for k, v in out.items()}
+
+    got_n = norm(segs)
+    ora = {}
+    for fid, t, s in oracle_subs:
+        ora.setdefault(fid, []).append(tuple(np.round(np.sort(t), 9)))
+    ora = {k: sorted(v) for k, v in ora.items()}
+    assert got_n == ora
+
+
+def test_trailing_discard_quirk(spark):
+    # doc with one >600s gap: two segments, trailing discarded -> only seg 0
+    pdf = pd.DataFrame({
+        "doc_id": ["a"] * 5,
+        "source": ["s"] * 5,
+        "ts": [0.0, 1.0, 2.0, 700.0, 701.0],
+        "seq": np.arange(5, dtype=np.int32),
+        "token": np.arange(5, dtype=np.int32) + 100,
+        "proto": np.int32(6),
+        "ttl": np.int32(64),
+        "tcp_flags": ["A"] * 5,
+    })
+    df = spark.createDataFrame(pdf)
+    got = sessionize_timeout(df, ("doc_id",), "ts", 600.0, 2, ("seq",)).toPandas()
+    assert sorted(got["ts"]) == [0.0, 1.0, 2.0]
+    # no split -> single segment kept
+    pdf2 = pdf.assign(ts=[0.0, 1.0, 2.0, 3.0, 4.0])
+    got2 = sessionize_timeout(spark.createDataFrame(pdf2), ("doc_id",), "ts", 600.0, 2, ("seq",)).toPandas()
+    assert len(got2) == 5
