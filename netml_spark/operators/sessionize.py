@@ -141,7 +141,12 @@ def subflows_interval(
 
     def split_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-        t = pdf[ts_col].to_numpy(dtype=np.float64)
+        raw = pdf[ts_col]
+        if pd.api.types.is_datetime64_any_dtype(raw):
+            # epoch seconds (wall time as UTC — matches util.ts_seconds)
+            t = raw.to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
+        else:
+            t = raw.to_numpy(dtype=np.float64)
         n = len(t)
         sub_id = np.zeros(n, dtype=np.int32)
         rec_time = start = t[0]

@@ -1,0 +1,150 @@
+"""FeaturePlan — the engine's query surface, replicating the reference's
+``pcap2flows -> flows2subflows -> flow2features`` lifecycle
+(parser.py:691-834) as one declarative DataFrame program.
+
+Lifecycle (SURVEY.md §3):
+
+  events --sessionize_timeout--> sessions          [1 shuffle on entity]
+         --(interval<=0: duration quantile)------- [pass-1 agg -> scalar]
+         --subflows_interval--> subflows           [applyInPandas, same keys]
+         --events_to_sequences--> one row per flow [same partitioning]
+         --(dim quantile)------------------------- [pass-2 agg -> scalar]
+         --kernel dispatch + fft/pad + header----> features:array<double>
+
+The two quantiles are the only driver round-trips; everything else is a
+single entity-partitioned pipeline. Feature dims per type follow
+parser.py:787-812 (IAT: dim-1, SIZE: dim, IAT_SIZE: 2*dim-1, STATS: 12,
+SAMP_*: dim-1 with rate = duration-quantile at q=0.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netml_spark.operators import kernels
+from netml_spark.operators.quantile import dim_from_counts, exact_quantile
+from netml_spark.operators.sequences import events_to_sequences
+from netml_spark.operators.sessionize import sessionize_timeout, subflows_interval
+from netml_spark.operators.stats import stats_vector
+
+FEAT_TYPES = ("IAT", "SIZE", "IAT_SIZE", "STATS", "SAMP_NUM", "SAMP_SIZE")
+
+
+@dataclass
+class FeaturePlan:
+    """Declarative twin of PCAP(...).pcap2flows(...).flow2features(...)."""
+
+    feat_type: str = "IAT"
+    fft: bool = False
+    header: bool = False
+    q_interval: float = 0.9
+    interval: float = 0.0  # <=0: derive from duration quantile (parser.py:729)
+    timeout: float = 600.0  # tcp_timeout == udp_timeout default (parser.py:80)
+    flow_pkts_thres: int = 2
+    approx_quantiles: bool = False  # percentile_approx on the bench path
+    # filled by extract():
+    dim: int | None = field(default=None, init=False)
+    split_interval: float | None = field(default=None, init=False)
+    sampling_rate: float | None = field(default=None, init=False)
+
+    def extract(
+        self,
+        events: DataFrame,
+        entity_cols: Sequence[str] = ("doc_id",),
+        ts_col: str = "ts",
+        token_col: str = "token",
+        order_cols: Sequence[str] = ("seq",),
+        carry_cols: Sequence[str] = ("source",),
+        header_cols: tuple[str, str, str] = ("tcp_flags", "proto", "ttl"),
+    ) -> DataFrame:
+        base = self.feat_type.replace("FFT-", "")
+        if base not in FEAT_TYPES:
+            raise ValueError(f"feat_type {self.feat_type!r} not in {FEAT_TYPES}")
+        entity_cols = list(entity_cols)
+
+        # stage 1: timeout sessionize (parser.py:80-206)
+        sess = sessionize_timeout(
+            events, entity_cols, ts_col, self.timeout, self.flow_pkts_thres,
+            order_cols,
+        )
+        sess_keys = entity_cols + ["session_id"]
+
+        # stage 2: split interval (pass-1 quantile barrier, parser.py:726-729)
+        if self.interval > 0:
+            self.split_interval = float(self.interval)
+        else:
+            from netml_spark.util import ts_seconds
+
+            ts_d = ts_seconds(sess, ts_col)
+            durations = sess.groupBy(*sess_keys).agg(
+                (F.max(ts_d) - F.min(ts_d)).alias("duration")
+            )
+            self.split_interval = exact_quantile(
+                durations, "duration", self.q_interval, approx=self.approx_quantiles
+            )
+
+        # stage 3: grid-aligned interval re-split (parser.py:209-299)
+        subs = subflows_interval(
+            sess, self.split_interval, sess_keys, ts_col,
+            self.flow_pkts_thres, order_cols,
+        )
+        flow_keys = sess_keys + ["subflow_id"]
+
+        # stage 4: one row per flow with ordered series
+        extra = [header_cols[0], header_cols[1], header_cols[2]] if self.header else []
+        seqs = events_to_sequences(
+            subs, flow_keys, ts_col, token_col, order_cols, carry_cols,
+            extra_series=extra,
+        ).cache()
+
+        # stage 5: dim (pass-2 quantile barrier, parser.py:783-785)
+        dim = dim_from_counts(seqs, "n_tok", self.q_interval, approx=self.approx_quantiles)
+
+        # stage 6: kernel dispatch (parser.py:787-812)
+        if base == "IAT":
+            self.dim = dim - 1
+            feats = seqs.withColumn("features", kernels.iat("times"))
+        elif base == "SIZE":
+            self.dim = dim
+            feats = seqs.withColumn("features", kernels.sizes_double("tokens"))
+        elif base == "IAT_SIZE":
+            self.dim = 2 * dim - 1
+            feats = seqs.withColumn("features", kernels.iat_size("times", "tokens"))
+        elif base == "STATS":
+            self.dim = 12
+            sv = stats_vector(subs, flow_keys, ts_col, token_col)
+            feats = seqs.join(sv, flow_keys)
+        else:  # SAMP_NUM / SAMP_SIZE (rate = duration quantile q=0.3, :801-808)
+            self.dim = dim - 1
+            dur = F.element_at("times", -1) - F.element_at("times", 1)
+            durations = seqs.select(dur.alias("duration"))
+            self.sampling_rate = exact_quantile(
+                durations, "duration", 0.3, approx=self.approx_quantiles
+            )
+            feats = seqs.withColumn(
+                "features", kernels.samp_udf(base, self.sampling_rate)("times", "tokens")
+            )
+
+        # stage 7: fft or pad/truncate (parser.py:814-818)
+        if self.fft:
+            feats = feats.withColumn("features", kernels.fft_udf(self.dim)("features"))
+        else:
+            feats = feats.withColumn("features", kernels.pad_truncate("features", self.dim))
+
+        # stage 8: header concat (parser.py:820-829)
+        if self.header:
+            h_dim = 8 + self.dim
+            fl, pr, tt = (f"{header_cols[0]}s", f"{header_cols[1]}s", f"{header_cols[2]}s")
+            hcol = kernels.header_features(fl, pr, tt)
+            if self.fft:
+                feats = feats.withColumn("_h", kernels.fft_udf(h_dim)(hcol))
+            else:
+                feats = feats.withColumn("_h", kernels.pad_truncate(hcol, h_dim))
+            feats = feats.withColumn("features", F.concat("_h", "features")).drop("_h")
+            feats = feats.drop(fl, pr, tt)
+
+        return feats.select(*flow_keys, *carry_cols, "n_tok", "tokens", "times", "features")
