@@ -116,6 +116,51 @@ def oracle_flows(events: pd.DataFrame):
     return flows
 
 
+def gen_sequences_fast(
+    n_docs: int = 50_000,
+    seed: int = 42,
+    base_ts: float = 1_700_000_000.0,
+) -> pd.DataFrame:
+    """Vectorized generator of the input_hint table at bench scale:
+    (doc_id:string, tokens:array<int32>, n_tok:int32, source:string,
+    ts0:double, times:array<double>). One numpy pass, no per-doc loop.
+    Long-tailed lengths, Zipf-skewed sources (heavy hitters)."""
+    rng = np.random.default_rng(seed)
+    lens = np.clip(rng.lognormal(3.2, 1.1, size=n_docs), 2, 2000).astype(np.int64)
+    total = int(lens.sum())
+    tokens = rng.integers(40, 1515, size=total, dtype=np.int32)
+    # gap mixture (mostly sub-second, rare >600 s), vectorized
+    kinds = rng.random(total)
+    gaps = np.where(
+        kinds < 0.90,
+        rng.uniform(1e-4, 1.0, size=total),
+        np.where(kinds < 0.98, rng.uniform(1.0, 60.0, size=total),
+                 rng.uniform(601.0, 3600.0, size=total)),
+    )
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    # per-doc cumulative times starting at a random t0
+    t0s = base_ts + rng.uniform(0, 86_400, size=n_docs)
+    cum = np.cumsum(gaps)
+    doc_of = np.repeat(np.arange(n_docs), lens)
+    seg_base = cum[offsets[:-1]]  # subtract so each doc restarts
+    times = cum - np.repeat(seg_base, lens) + np.repeat(t0s, lens)
+    src_weights = 1.0 / np.arange(1, N_SOURCES + 1) ** 1.5
+    src_weights /= src_weights.sum()
+    sources = rng.choice(N_SOURCES, size=n_docs, p=src_weights)
+    tok_split = np.split(tokens, offsets[1:-1])
+    time_split = np.split(times, offsets[1:-1])
+    return pd.DataFrame(
+        {
+            "doc_id": [f"doc{d:08d}" for d in range(n_docs)],
+            "tokens": tok_split,
+            "n_tok": lens.astype(np.int32),
+            "source": [f"src{s}" for s in sources],
+            "ts0": t0s,
+            "times": time_split,
+        }
+    )
+
+
 def gen_labels(doc_ids, seed: int = 42) -> pd.DataFrame:
     """F3 label fixture keyed on doc_id: ~80% of docs labeled, ~5% duplicate
     keys with conflicting labels (last-wins test), plus 10 phantom keys."""

@@ -131,8 +131,9 @@ def asof_join_broadcast(
     )
     lts = ts_seconds(left, left_ts)
     joined = left.join(F.broadcast(packed), on=on, how="left")
-    match = F.element_at(
-        F.filter(F.col("_snaps"), lambda s: s["ts"] <= lts), -1
+    # try_element_at: rows with no match (<= ts) get NULL, not an error
+    match = F.try_element_at(
+        F.filter(F.col("_snaps"), lambda s: s["ts"] <= lts), F.lit(-1)
     )
     out = joined.select(
         *left.columns,

@@ -1,0 +1,79 @@
+"""Scaling-efficiency evidence (sandbox surrogate for N vs 4N executors).
+
+Runs bench.py in fresh subprocesses at local[8] and local[32] on identical
+input (per the driver instruction) and reports throughput at both plus
+eff = throughput_32 / (4 x throughput_8). Appends a row to BENCH/BASELINE.md.
+
+Note: local[8] vs local[32] shares one node's memory bandwidth and JVM, so
+this is a lower bound on real multi-executor scaling for shuffle-light
+plans; the engine's plans keep one entity-partitioned exchange per pipeline
+precisely so added executors add parallel partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, runs: int = 1) -> dict:
+    best = None
+    for _ in range(runs):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=1200,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        r = json.loads(line)
+        if best is None or r["value"] < best["value"]:
+            best = r
+    return best
+
+
+def main():
+    runs = int(os.environ.get("SCALING_RUNS", "2"))
+    r8 = run_bench(8, runs)
+    r32 = run_bench(32, runs)
+    # throughput basis: the sequence-kernel workload (north metric)
+    thr8 = r8["sequences_per_sec"]
+    thr32 = r32["sequences_per_sec"]
+    eff_seq = thr32 / (4 * thr8)
+    # whole-suite basis
+    eff_total = (1 / r32["value"]) / (4 * (1 / r8["value"]))
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    row = (
+        f"| {stamp} | {r8['n_sequences']} seqs + sf0.1 | "
+        f"{thr8:.0f} seq/s | {thr32:.0f} seq/s | {eff_seq:.2f} | "
+        f"{r8['value']:.1f}s | {r32['value']:.1f}s | {eff_total:.2f} |"
+    )
+    print(json.dumps({
+        "local8": r8, "local32": r32,
+        "seq_throughput_efficiency": round(eff_seq, 3),
+        "total_wall_efficiency": round(eff_total, 3),
+    }))
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    header = (
+        "# BENCH/BASELINE — measured scaling evidence\n\n"
+        "North rule: >=0.8 throughput scaling efficiency from N to 4N\n"
+        "executors; sandbox surrogate = local[8] vs local[32] on identical\n"
+        "input (driver instruction). eff = throughput_32 / (4 x throughput_8).\n"
+        "Caveat: a single shared-memory JVM under-reports true multi-node\n"
+        "scaling for memory-bandwidth-bound kernels.\n\n"
+        "| run (UTC) | input | seq/s @8 | seq/s @32 | seq eff | suite @8 | suite @32 | suite eff |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+    )
+    if not os.path.exists(md):
+        with open(md, "w") as f:
+            f.write(header)
+    with open(md, "a") as f:
+        f.write(row + "\n")
+
+
+if __name__ == "__main__":
+    main()
