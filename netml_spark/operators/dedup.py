@@ -121,14 +121,24 @@ def ngram_jaccard_pairs(
 
 
 def _hash_params(n_hashes: int, seed: int = 42):
-    """Coefficients sized so a*x+b stays inside uint64: x is folded to
-    32 bits, a < 2^29, b < 2^31 -> product <= 2^61, sum < 2^62 (no
-    overflow), mod 2^61-1. Keeps the whole MinHash kernel in vectorized
-    uint64 numpy (object-dtype bigints are ~100x slower)."""
+    """Per-permutation 64-bit salts for the splitmix64 finalizer (a uint64
+    bijection — proper min-wise hashing with pure wrap-around numpy uint64
+    arithmetic; an affine (a*x+b) family with small coefficients is NOT
+    min-wise independent: it rarely wraps, so min(h(x)) == h(min(x)))."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 1 << 29, size=n_hashes, dtype=np.uint64)
-    b = rng.integers(0, 1 << 31, size=n_hashes, dtype=np.uint64)
-    return a, b
+    return rng.integers(0, np.iinfo(np.uint64).max, size=n_hashes, dtype=np.uint64)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective uint64 mixer (public-domain PRNG
+    constant set; same mixing used by java.util.SplittableRandom)."""
+    z = z.copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
 
 
 def minhash_signatures(
@@ -142,20 +152,19 @@ def minhash_signatures(
     """(id, sig:array<long>) — MinHash over xxhash64'd word shingles.
     Per-row work is ONE numpy (n_shingles x n_hashes) broadcast-min inside a
     pandas UDF (Arrow batches; no per-row Python)."""
-    a, b = _hash_params(n_hashes, seed)
+    salts = _hash_params(n_hashes, seed)
 
     @pandas_udf("array<long>")
     def _minhash(hashes: pd.Series) -> pd.Series:
         out = []
-        p = np.uint64(MERSENNE_P)
         for h in hashes:
-            h = np.asarray(h, dtype=np.uint64) & np.uint64(0xFFFFFFFF)
+            h = np.asarray(h).astype(np.int64).view(np.uint64)
             if len(h) == 0:
                 out.append(np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64))
                 continue
-            # (a*x + b) mod p per permutation, one uint64 matrix op
-            hx = (h[:, None] * a[None, :] + b[None, :]) % p
-            out.append(np.min(hx, axis=0).astype(np.int64))
+            # one (n_shingles x n_hashes) mix + column-min, all uint64
+            hx = _splitmix64(h[:, None] + salts[None, :])
+            out.append(np.min(hx, axis=0).view(np.int64))
         return pd.Series(out)
 
     sh = df.select(
