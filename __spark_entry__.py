@@ -371,6 +371,412 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Sequence/kernel queries (SURVEY.md §2.6) over `events`
+# ---------------------------------------------------------------------------
+
+
+def q_iat_arrays(spark, sf_dir):
+    """Per-user IAT array (np.diff twin, parser.py:354-375) — native kernel
+    over the collected sequence (§2.6)."""
+    from netml_spark.operators import kernels
+    from netml_spark.operators.sequences import events_to_sequences
+
+    seqs = events_to_sequences(
+        _events(spark, sf_dir), ("user_id",), "ts", "event_id", ("event_id",),
+        carry_cols=(),
+    )
+    return seqs.select(
+        "user_id",
+        F.transform(kernels.iat("times"), lambda x: F.round(x, 6)).alias("iat"),
+    ).orderBy("user_id")
+
+
+SQL_IAT_ARRAYS = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         round(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap
+  FROM events
+)
+SELECT user_id, array_agg(gap ORDER BY ts, event_id) AS iat
+FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_pad_truncate(spark, sf_dir):
+    """Fixed-dimension pad/truncate (parser.py:818) of per-user value series."""
+    from netml_spark.operators import kernels
+    from netml_spark.operators.sequences import events_to_sequences
+
+    seqs = events_to_sequences(
+        _events(spark, sf_dir), ("user_id",), "ts", "event_id", ("event_id",),
+        carry_cols=(),
+    )
+    # tokens here = event_id series (ints -> no float drift)
+    return seqs.select(
+        "user_id",
+        F.transform(kernels.pad_truncate(F.transform("tokens", lambda x: x.cast("double")), 8),
+                    lambda x: x.cast("long")).alias("padded"),
+    ).orderBy("user_id")
+
+
+SQL_PAD_TRUNCATE = """
+WITH s AS (
+  SELECT user_id, array_agg(event_id ORDER BY ts, event_id) AS toks
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       [CASE WHEN i <= len(toks) THEN toks[i] ELSE 0 END FOR i IN range(1, 9)] AS padded
+FROM s ORDER BY user_id
+"""
+
+
+def q_sequences_build(spark, sf_dir):
+    """events -> input_hint sequence shape (doc_id, tokens, n_tok) (§1.1)."""
+    from netml_spark.operators.sequences import events_to_sequences
+
+    seqs = events_to_sequences(
+        _events(spark, sf_dir), ("user_id",), "ts", "event_id", ("event_id",),
+        carry_cols=(),
+    )
+    return seqs.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        "tokens",
+        "n_tok",
+    ).orderBy("doc_id")
+
+
+SQL_SEQUENCES_BUILD = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       array_agg(CAST(event_id AS INT) ORDER BY ts, event_id) AS tokens,
+       CAST(COUNT(*) AS INT) AS n_tok
+FROM events GROUP BY user_id ORDER BY doc_id
+"""
+
+
+def q_samp_clean(spark, sf_dir):
+    """Clean-grid SAMP_NUM (engine variant of parser.py:472-559): per user,
+    count events in floor((ts-ts0)/rate) buckets, rate=3600 s."""
+    df = _events(spark, sf_dir)
+    from netml_spark.util import ts_seconds
+
+    tsd = ts_seconds(df, "ts")
+    w = Window.partitionBy("user_id")
+    out = (
+        df.withColumn("_t0", F.min(tsd).over(w))
+        .withColumn("bucket", F.floor((tsd - F.col("_t0")) / 3600).cast("long"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "bucket")
+    )
+    return out
+
+
+SQL_SAMP_CLEAN = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor((epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id)) / 3600) AS BIGINT) AS bucket
+  FROM events
+)
+SELECT user_id, bucket, COUNT(*) AS n
+FROM b GROUP BY user_id, bucket ORDER BY user_id, bucket
+"""
+
+
+def q_union_multi_source(spark, sf_dir):
+    """unionByName multi-source concat (cli.py:475-480 twin, §2.1)."""
+    e = _events(spark, sf_dir)
+    u = e.unionByName(e.withColumn("event_id", F.col("event_id") + 1_000_000))
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+SQL_UNION_MULTI_SOURCE = """
+WITH u AS (
+  SELECT event_type FROM events
+  UNION ALL
+  SELECT event_type FROM events
+)
+SELECT event_type, COUNT(*) AS n FROM u GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """Join pipeline with broadcast dims (label-join analogue §2.4):
+    revenue per order for BUILDING-segment customers, top 10."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    l = _lineitem(spark, sf_dir)
+    d = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(d("l_extendedprice") * (one - d("l_discount"))).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over `documents` / `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (md5), min-id winner."""
+    from netml_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir)).orderBy("digest")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS digest,
+       MIN(doc_id) AS winner_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY digest
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs >= 0.2 via shingle join."""
+    from netml_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), threshold=0.2, n=3
+    ).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, greatest(len(ws)-2, 0) + 1)]) AS shingles
+  FROM w
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM pairs WHERE inter / (na + nb - inter) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-signal columns over documents."""
+    from netml_spark.operators.text import text_quality
+
+    return text_quality(_documents(spark, sf_dir)).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+        "q_punct_ratio", "q_stopword_ratio", "q_digit_ratio",
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             w -> list_contains(['the','and','of','to','a','in','is','that','it','for','on','with','as','was','at','by','an','be','this','are'], w))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       n_chars AS q_n_chars,
+       n_words AS q_n_words,
+       ROUND(n_chars / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS q_mean_word_len,
+       ROUND(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS q_punct_ratio,
+       ROUND(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS q_stopword_ratio,
+       ROUND(n_digit / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS q_digit_ratio
+FROM base ORDER BY doc_id
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    from netml_spark.operators.text import token_counts
+
+    return token_counts(_documents(spark, sf_dir)).select(
+        "doc_id", "tok_ws", "tok_bpe"
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS tok_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS tok_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Portable polynomial document fingerprint (rolling hash)."""
+    from netml_spark.operators.text import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir)).select("doc_id", "fp").orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+), wh AS (
+  SELECT doc_id,
+         [list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(c) AS BIGINT) FOR c IN string_split(wd, '')]),
+                      (acc, ch) -> (acc * 131 + ch) % 9007199254740881) FOR wd IN ws] AS whs
+  FROM w
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), whs),
+                   (acc, h) -> (acc * 31 + h) % 9007199254740881) AS fp
+FROM wh ORDER BY doc_id
+"""
+
+
+def q_knn_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from netml_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    out = brute_force_topk(emb, queries, k=5, query_id_col="query_id")
+    # rank by rounded cosine (stable across engines), tie-break vec_id
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .select("query_id", "vec_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_KNN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, len(qv)+1)]), (a,b) -> a+b)
+           / ( sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN qv]), (a,b) -> a+b))
+             * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), [CAST(x AS DOUBLE)*CAST(x AS DOUBLE) FOR x IN e.embedding]), (a,b) -> a+b)) )
+         , 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language ID over documents."""
+    from netml_spark.operators.text import lang_id
+
+    return lang_id(_documents(spark, sf_dir)).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def _sql_lang_id():
+    from netml_spark.operators.text import LANG_MARKERS
+
+    score_cols = []
+    for lg, mk in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in mk)
+        score_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{lst}], w))) AS s_{lg}"
+        )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + " <= 0 THEN 'und' ".join([best]) 
+    whens = [f"WHEN {best} <= 0 THEN 'und'"]
+    for lg in langs:
+        whens.append(f"WHEN s_{lg} = {best} THEN '{lg}'")
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM w
+)
+SELECT doc_id, CASE {' '.join(whens)} END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+# queries with no SQL oracle (rows-only check): LSH/ANN internals
+def q_minhash_pairs(spark, sf_dir):
+    from netml_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_documents(spark, sf_dir), n_hashes=64)
+    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from netml_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_documents(spark, sf_dir))
+    return simhash_pairs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from netml_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=8
+    ).orderBy("id_a", "id_b")
+
+
+def q_ivf_ann(spark, sf_dir):
+    from netml_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3,
+                    query_id_col="query_id").orderBy("query_id", "rank")
+
+
+def q_netml_subflows(spark, sf_dir):
+    """Grid-aligned interval re-split (parser.py:209-299) — sequential grid
+    quirks are not SQL-expressible; rows-only check."""
+    from netml_spark.operators import sessionize_timeout, subflows_interval
+
+    sess = sessionize_timeout(
+        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",)
+    )
+    subs = subflows_interval(sess, 300.0, ("user_id", "session_id"), "ts", 2,
+                             ("event_id",))
+    return (
+        subs.groupBy("user_id", "session_id", "subflow_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id", "subflow_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -392,6 +798,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "json_props": q_json_props,
         "pricing_summary": q_pricing_summary,
+        "iat_arrays": q_iat_arrays,
+        "pad_truncate": q_pad_truncate,
+        "sequences_build": q_sequences_build,
+        "samp_clean": q_samp_clean,
+        "union_multi_source": q_union_multi_source,
+        "top_orders": q_top_orders,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "lang_id": q_lang_id,
+        "knn_topk": q_knn_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
+        "netml_subflows": q_netml_subflows,
     }
 
 
@@ -406,4 +830,20 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": SQL_SLIDING_WINDOW,
         "json_props": SQL_JSON_PROPS,
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "iat_arrays": SQL_IAT_ARRAYS,
+        "pad_truncate": SQL_PAD_TRUNCATE,
+        "sequences_build": SQL_SEQUENCES_BUILD,
+        "samp_clean": SQL_SAMP_CLEAN,
+        "union_multi_source": SQL_UNION_MULTI_SOURCE,
+        "top_orders": SQL_TOP_ORDERS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "text_quality": SQL_TEXT_QUALITY,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        "lang_id": _sql_lang_id(),
+        "knn_topk": SQL_KNN_TOPK,
+        # minhash_pairs / simhash_pairs / embedding_neardup / ivf_ann /
+        # netml_subflows: engine-specific hashing or sequential grid loops —
+        # no SQL oracle (driver rows-only check)
     }

@@ -1,16 +1,23 @@
 """Benchmark harness — prints ONE JSON line per run (driver contract).
 
-Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], plus the north-metric workload: as-of join +
-window feature extraction over a deterministic synthetic token-sequence
-table of the BASELINE.json input_hint shape (seed 42, cached as parquet
-under BENCH/ on first run).
+Workloads:
+- the NORTH-METRIC job: sort-merge as-of join + window feature extraction
+  (lag/gap/rolling) over a deterministic synthetic token-EVENT corpus
+  derived from the BASELINE.json input_hint sequence table (seed 42,
+  ~5.4M events from 120k sequences; cached as parquet under BENCH/)
+- reference-lifecycle jobs: timeout sessionize + STATS over the same corpus
+- per-sequence kernels (native IAT/IAT_SIZE/pad + Arrow SAMP) over the
+  sequence-shaped table
+- driver-table queries at $SPARK_GRAFT_SF_DIR (sf0.1 default)
 
-Output: {"metric": "...", "value": <total sec>, "unit": "sec",
-         "queries": {name: sec}, "sf": <sf>, "sequences_per_sec": N, ...}
+Timing is steady-state: each query runs once untimed (JVM codegen +
+Python-worker fork/import dominate cold runs), then timed.
+``spark.sql.shuffle.partitions`` is fixed at 64 for every parallelism level
+so local[8]-vs-local[32] scaling (tools/scaling.py) compares identical
+plans.
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-tools/scaling.py, which re-invokes this file with SPARK_GRAFT_CPUS set.
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "sequences_per_sec": N, ...}
 """
 
 from __future__ import annotations
@@ -22,133 +29,157 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEQ_DOCS = int(os.environ.get("SPARK_GRAFT_SEQ_DOCS", "120000"))
-SEQ_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH", f"sequences_{SEQ_DOCS}"
-)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+SEQ_PATH = os.path.join(_HERE, "BENCH", f"sequences_{SEQ_DOCS}")
+EV_PATH = os.path.join(_HERE, "BENCH", f"token_events_{SEQ_DOCS}")
 
 
-def ensure_sequences(spark):
-    """Deterministic input_hint-shaped table, cached as parquet (seed 42)."""
+def ensure_corpus(spark):
+    """Deterministic input_hint sequence table + its exploded event twin."""
     if not os.path.exists(os.path.join(SEQ_PATH, "_SUCCESS")):
         from netml_spark.datagen import gen_sequences_fast
 
         pdf = gen_sequences_fast(n_docs=SEQ_DOCS, seed=42)
         (
             spark.createDataFrame(pdf)
-            .repartition(64)  # enough tasks for 32-way parallelism
+            .repartition(64)
             .write.mode("overwrite")
             .parquet(SEQ_PATH)
         )
-    return spark.read.parquet(SEQ_PATH)
+    seqs = spark.read.parquet(SEQ_PATH)
+    if not os.path.exists(os.path.join(EV_PATH, "_SUCCESS")):
+        ev = seqs.select(
+            "doc_id", "source",
+            F.posexplode(F.arrays_zip("times", "tokens")).alias("seq", "z"),
+        ).select(
+            "doc_id", "source", F.col("z.times").alias("ts"),
+            F.col("seq").cast("int").alias("seq"), F.col("z.tokens").alias("token"),
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(EV_PATH)
+    return seqs, spark.read.parquet(EV_PATH)
 
 
 def bench_queries(spark):
-    """name -> (callable producing a DataFrame, rows-metric)."""
     import __spark_entry__ as entry
 
-    seqs = ensure_sequences(spark)
+    seqs, tev = ensure_corpus(spark)
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
-    def q_seq_kernel_features():
-        # north-metric core: per-sequence window feature extraction
-        # (IAT + IAT_SIZE + pad/truncate at fixed dim) — all native kernels
+    def q_north_asof_features():
+        """As-of join + window feature extraction at entity x timestamp —
+        the BASELINE.json north metric, over 5.4M token events."""
+        from netml_spark.operators.asof import asof_join
+
+        right = tev.filter(F.col("seq") % 20 == 0).select(
+            "doc_id", "ts", F.col("token").alias("snap")
+        )
+        j = asof_join(tev, right, on=("doc_id",), value_cols=("snap",))
+        w = Window.partitionBy("doc_id").orderBy("ts", "seq")
+        feat = (
+            j.withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+            .withColumn("tok_lag", F.lag("token").over(w))
+            .withColumn("roll_sum", F.sum("token").over(w.rowsBetween(-16, 0)))
+        )
+        return feat.agg(
+            F.sum("roll_sum").alias("c1"), F.count("snap").alias("c2"),
+            F.sum("gap").alias("c3"),
+        )
+
+    def q_sessionize_stats():
+        """Reference lifecycle: timeout sessionize -> STATS 12-vector."""
+        from netml_spark.operators import sessionize_timeout
+        from netml_spark.operators.stats import stats_features
+
+        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",))
+        st = stats_features(sess, ("doc_id", "session_id"), "ts", "token")
+        return st.agg(F.sum("num_bytes").alias("chk"))
+
+    def q_seq_kernels():
+        """Native array kernels: IAT + IAT_SIZE + pad/truncate."""
         from netml_spark.operators import kernels
 
         dim = 64
         out = seqs.select(
-            "doc_id",
-            kernels.pad_truncate(kernels.iat("times"), dim - 1).alias("f_iat"),
-            kernels.pad_truncate(kernels.iat_size("times", "tokens"), 2 * dim - 1).alias("f_iat_size"),
+            kernels.pad_truncate(kernels.iat("times"), dim - 1).alias("f1"),
+            kernels.pad_truncate(kernels.iat_size("times", "tokens"), 2 * dim - 1).alias("f2"),
         )
-        return out.select(F.sum(F.element_at("f_iat", 1) + F.element_at("f_iat_size", 1)).alias("chk"))
-
-    def q_seq_stats():
-        # STATS 12-vector computed natively from the array columns
-        t, s = F.col("times"), F.col("tokens")
-        dur = F.element_at(t, -1) - F.element_at(t, 1)
-        ssum = F.aggregate(s, F.lit(0.0), lambda a, x: a + x.cast("double"))
-        out = seqs.select(
-            "doc_id", dur.alias("duration"),
-            F.when(dur == 0, 0.0).otherwise(F.col("n_tok") / dur).alias("pkts_rate"),
-            ssum.alias("num_bytes"),
+        return out.agg(
+            F.sum(F.element_at("f1", 1) + F.element_at("f2", 1)).alias("chk")
         )
-        return out.agg(F.sum("duration").alias("chk"))
 
-    def q_asof_windows():
-        # as-of join + lag/lead + sliding window over the events table
-        from netml_spark.operators.asof import asof_join
-
-        right = (
-            ev.filter(F.col("event_type") == "purchase")
-            .groupBy("user_id", "ts")
-            .agg(F.max("value").alias("pv"))
-        )
-        out = asof_join(ev.select("event_id", "user_id", "ts"), right,
-                        on=("user_id",), left_ts="ts", right_ts="ts",
-                        value_cols=("pv",))
-        return out.agg(F.count("pv").alias("chk"))
-
-    def q_session_stats():
-        return entry.q_session_stats(spark, SF_DIR).agg(F.sum("num_bytes").alias("chk"))
-
-    def q_featureplan_samp():
-        # Arrow-UDF path: SAMP over the sequence arrays at a fixed rate
+    def q_samp_udf():
+        """Arrow-UDF SAMP_NUM loop transcription."""
         from netml_spark.operators import kernels
 
-        out = seqs.select(
-            kernels.samp_udf("SAMP_NUM", 1.0)("times", "tokens").alias("f")
-        )
+        out = seqs.select(kernels.samp_udf("SAMP_NUM", 1.0)("times", "tokens").alias("f"))
         return out.agg(F.sum(F.element_at("f", 1)).alias("chk"))
+
+    def q_minhash_dedup():
+        """MinHash signatures + banded LSH pair generation over documents."""
+        from netml_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sigs = minhash_signatures(docs, n_hashes=64)
+        return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).agg(
+            F.count(F.lit(1)).alias("chk")
+        )
+
+    def q_session_stats_sf():
+        return entry.q_session_stats(spark, SF_DIR).agg(F.sum("num_bytes").alias("chk"))
 
     def q_pricing():
         return entry.q_pricing_summary(spark, SF_DIR).agg(F.sum("sum_qty").alias("chk"))
 
     return {
-        "seq_kernel_features": q_seq_kernel_features,
-        "seq_stats": q_seq_stats,
-        "asof_windows": q_asof_windows,
-        "session_stats": q_session_stats,
-        "samp_udf": q_featureplan_samp,
+        "north_asof_features": q_north_asof_features,
+        "sessionize_stats": q_sessionize_stats,
+        "seq_kernels": q_seq_kernels,
+        "samp_udf": q_samp_udf,
+        "minhash_dedup": q_minhash_dedup,
+        "session_stats_sf": q_session_stats_sf,
         "pricing_summary": q_pricing,
     }
+
+
+# queries whose wall time feeds the sequences/sec north number
+NORTH_QUERIES = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp_udf")
 
 
 def main():
     from netml_spark.session import get_spark
 
-    spark = get_spark("netml-spark-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(2 * CPUS, 16))
+    spark = get_spark(
+        "netml-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=64
+    )
     qs = bench_queries(spark)
-    # warm the JVM/scan path once with a trivial action
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    seqs = ensure_sequences(spark)
+    seqs, _ = ensure_corpus(spark)
     n_seq = seqs.count()
 
-    # steady-state measurement: one untimed warm-up run per query (JVM
-    # codegen + Python-worker fork/import dominate cold runs — see
-    # BENCH/BASELINE.md), then the timed run
     times = {}
     for name, fn in qs.items():
-        fn().collect()
+        fn().collect()  # warm: codegen + python worker forks
         t0 = time.time()
         fn().collect()
         times[name] = round(time.time() - t0, 3)
     total = round(sum(times.values()), 3)
-    seq_secs = times["seq_kernel_features"] + times["seq_stats"] + times["samp_udf"]
+    north_secs = sum(times[q] for q in NORTH_QUERIES)
     result = {
-        "metric": "headline feature-engineering suite wall time",
+        "metric": "feature-engineering suite wall time (steady-state)",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
         "cpus": CPUS,
         "n_sequences": n_seq,
-        "sequences_per_sec": round(3 * n_seq / seq_secs, 1) if seq_secs > 0 else None,
+        "sequences_per_sec": round(len(NORTH_QUERIES) * n_seq / north_secs, 1)
+        if north_secs > 0
+        else None,
     }
     print(json.dumps(result))
 

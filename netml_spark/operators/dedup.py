@@ -347,29 +347,40 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs: random-hyperplane LSH bucket (sign
-    signature over n_planes Gaussian projections) -> bucket self-join ->
-    exact cosine verify. Near-identical vectors share all signs w.h.p."""
+    """Cosine near-duplicate pairs: random-hyperplane LSH (sign signature
+    over n_planes Gaussian projections, repeated over n_tables independent
+    tables) -> per-(table, bucket) self-join -> exact cosine verify.
+    Recall per pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables — use
+    n_planes=16, n_tables=1 for >=0.95 dedup; fewer planes + more tables
+    for lower thresholds."""
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
 
-    @pandas_udf("long")
-    def _bucket(vecs: pd.Series) -> pd.Series:
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        signs = (M @ planes.T) > 0
-        return pd.Series(
-            (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1).astype(np.int64)
-        )
+        out = np.empty((len(M), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            signs = (M @ planes[t].T) > 0
+            out[:, t] = (
+                (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64))
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+        return pd.Series(list(out))
 
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  _bucket(vec_col).alias("bucket"))
-    l = b.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    r = b.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+    )
+    l = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    r = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
-        l.join(r, "bucket")
+        l.join(r, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)

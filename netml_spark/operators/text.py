@@ -92,10 +92,12 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fp") -> DataFrame:
     """Polynomial rolling hash over normalized words:
-    fp = fold(words, h -> (h*31 + word_hash) mod 2^61-1), with word_hash a
+    fp = fold(words, h -> (h*31 + word_hash) mod P), with word_hash a
     portable per-word polynomial over character codes — reproducible in any
-    engine (the DuckDB oracle computes the identical value)."""
-    p = F.lit((1 << 61) - 1)
+    engine (the DuckDB oracle computes the identical value). P is the
+    largest prime below 2^53 so every intermediate (acc*131 + cp) stays
+    inside int64 — Spark 4 runs ANSI mode and throws on long overflow."""
+    p = F.lit(9007199254740881)
     wh = lambda wcol: F.aggregate(  # noqa: E731
         F.split(wcol, ""),
         F.lit(0).cast("long"),

@@ -21,25 +21,29 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, runs: int = 1) -> dict:
-    best = None
-    for _ in range(runs):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, env=env, cwd=REPO, timeout=1200,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        r = json.loads(line)
-        if best is None or r["value"] < best["value"]:
-            best = r
-    return best
+def run_bench_once(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main():
-    runs = int(os.environ.get("SCALING_RUNS", "2"))
-    r8 = run_bench(8, runs)
-    r32 = run_bench(32, runs)
+    # The sandbox VM has visible noise (steal time, memory compaction), so
+    # trials ALTERNATE between the two parallelism levels and the best run
+    # per level is reported — standard best-of-N on shared hardware.
+    runs = int(os.environ.get("SCALING_RUNS", "3"))
+    r8 = r32 = None
+    for _ in range(runs):
+        a = run_bench_once(8)
+        b = run_bench_once(32)
+        if r8 is None or a["value"] < r8["value"]:
+            r8 = a
+        if r32 is None or b["value"] < r32["value"]:
+            r32 = b
     # throughput basis: the sequence-kernel workload (north metric)
     thr8 = r8["sequences_per_sec"]
     thr32 = r32["sequences_per_sec"]
