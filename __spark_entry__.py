@@ -782,6 +782,157 @@ def q_netml_subflows(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation for heavy-hitter keys (SURVEY.md §4.2)
+    — result identical to a plain groupBy."""
+    from netml_spark.operators.skew import salted_agg
+
+    out = salted_agg(_events(spark, sf_dir), ("user_id",), "value", n_salts=16)
+    return out.select(
+        "user_id", "count_value",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("mean_value", 6).alias("mean_value"),
+        "min_value", "max_value",
+    ).orderBy("user_id")
+
+
+SQL_SALTED_AGG = """
+SELECT user_id,
+       COUNT(*) AS count_value,
+       ROUND(SUM(CAST(value AS DOUBLE)), 4) AS sum_value,
+       ROUND(AVG(CAST(value AS DOUBLE)), 6) AS mean_value,
+       MIN(CAST(value AS DOUBLE)) AS min_value,
+       MAX(CAST(value AS DOUBLE)) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_stream_session_stats(spark, sf_dir):
+    """session_window streaming twin evaluated in batch mode (§2.10) —
+    equivalent to clean cumsum sessionization."""
+    from netml_spark.streaming.session_stream import streaming_session_stats
+
+    out = streaming_session_stats(
+        _events(spark, sf_dir), ("user_id",), "ts", "value", gap="600 seconds"
+    )
+    return out.select(
+        "user_id",
+        F.round(F.col("session_start").cast("timestamp").cast("double"), 6).alias("session_start"),
+        "num_pkts",
+        F.round("num_bytes", 4).alias("num_bytes"),
+        F.round("duration", 6).alias("duration"),
+    ).orderBy("user_id", "session_start")
+
+
+SQL_STREAM_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 600
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       ROUND(MIN(epoch(ts)), 6) AS session_start,
+       CAST(COUNT(*) AS DOUBLE) AS num_pkts,
+       ROUND(SUM(CAST(value AS DOUBLE)), 4) AS num_bytes,
+       ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 6) AS duration
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_bounded_sessionize(spark, sf_dir):
+    """Chunked sessionization for oversized entities (skew path):
+    bucket-local cumsum sessions."""
+    from netml_spark.operators.skew import bounded_sessionize
+
+    out = bounded_sessionize(
+        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 86_400.0, ("event_id",)
+    )
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_BOUNDED_SESSIONIZE = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) > 600
+                 THEN 1 ELSE 0 END AS brk
+  FROM b
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, bucket || '_' || sid AS session_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, bucket, sid ORDER BY user_id, session_id
+"""
+
+
+def q_label_join(spark, sf_dir):
+    """CICIDS-style label join (parser.py:858-924): last-wins dedupe,
+    BENIGN/NORMAL -> 0, inner semantics. Label rows synthesized
+    deterministically from doc ids."""
+    from netml_spark.operators.labels import label_join
+
+    docs = _documents(spark, sf_dir).select("doc_id")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("BENIGN"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("Bot"))
+        .otherwise(F.lit("normal")).alias("label_raw"),
+        F.lit(0).alias("src_order"),
+    )
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("DDoS").alias("label_raw"), F.lit(1).alias("src_order")
+    )
+    labels = base.unionByName(dups)
+    out = label_join(docs, labels, ("doc_id",), order_col="src_order")
+    return out.select("doc_id", "label").orderBy("doc_id")
+
+
+SQL_LABEL_JOIN = """
+WITH labels AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'BENIGN'
+              WHEN doc_id % 7 = 0 THEN 'Bot' ELSE 'normal' END AS label_raw,
+         0 AS src_order
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'DDoS', 1 FROM documents WHERE doc_id % 10 = 0
+), dedup AS (
+  SELECT doc_id, label_raw,
+         row_number() OVER (PARTITION BY doc_id ORDER BY src_order DESC) AS rn
+  FROM labels
+), final AS (
+  SELECT doc_id,
+         CASE WHEN upper(trim(label_raw)) IN ('BENIGN','NORMAL') THEN 0 ELSE 1 END AS label
+  FROM dedup WHERE rn = 1
+)
+SELECT d.doc_id, CAST(f.label AS INT) AS label
+FROM documents d JOIN final f ON d.doc_id = f.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component cluster ids over jaccard-similar pairs
+    (min-label propagation; rows-only check — iterative algorithm)."""
+    from netml_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.2, n=3)
+    return dedup_clusters(pairs).orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: reference-faithful sessionize + STATS features at sf0.001."""
     return q_session_stats(spark, SF_DEFAULT)
@@ -816,6 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
         "netml_subflows": q_netml_subflows,
+        "salted_agg": q_salted_agg,
+        "stream_session_stats": q_stream_session_stats,
+        "bounded_sessionize": q_bounded_sessionize,
+        "label_join": q_label_join,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -843,7 +999,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "lang_id": _sql_lang_id(),
         "knn_topk": SQL_KNN_TOPK,
+        "salted_agg": SQL_SALTED_AGG,
+        "stream_session_stats": SQL_STREAM_SESSION_STATS,
+        "bounded_sessionize": SQL_BOUNDED_SESSIONIZE,
+        "label_join": SQL_LABEL_JOIN,
         # minhash_pairs / simhash_pairs / embedding_neardup / ivf_ann /
-        # netml_subflows: engine-specific hashing or sequential grid loops —
-        # no SQL oracle (driver rows-only check)
+        # netml_subflows / dedup_clusters: engine-specific hashing,
+        # sequential grid loops, or iterative algorithms — no SQL oracle
+        # (driver rows-only check)
     }

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SEQ_DOCS = int(os.environ.get("SPARK_GRAFT_SEQ_DOCS", "120000"))
+SEQ_DOCS = int(os.environ.get("SPARK_GRAFT_SEQ_DOCS", "480000"))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 SEQ_PATH = os.path.join(_HERE, "BENCH", f"sequences_{SEQ_DOCS}")
 EV_PATH = os.path.join(_HERE, "BENCH", f"token_events_{SEQ_DOCS}")
