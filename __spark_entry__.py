@@ -933,6 +933,48 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs).orderBy("id")
 
 
+def q_ip_mac_scalars(spark, sf_dir):
+    """§2.8 scalar fns: IPv4/MAC string -> int (parser.py:1062-1072) —
+    strings synthesized deterministically from event ids, identical in the
+    SQL oracle, then converted with the engine's native expressions."""
+    from netml_spark.operators.scalars import ip_to_int, mac_to_int
+
+    e = F.col("event_id")
+    ip = F.concat_ws(".", (e % 224).cast("string"), ((e * 7) % 256).cast("string"),
+                     ((e * 13) % 256).cast("string"), ((e * 29) % 256).cast("string"))
+    mac = F.lower(F.concat_ws(":", F.lpad(F.hex(e % 256), 2, "0"),
+                              F.lpad(F.hex((e * 3) % 256), 2, "0"),
+                              F.lpad(F.hex((e * 5) % 256), 2, "0"),
+                              F.lpad(F.hex((e * 7) % 256), 2, "0"),
+                              F.lpad(F.hex((e * 11) % 256), 2, "0"),
+                              F.lpad(F.hex((e * 13) % 256), 2, "0")))
+    df = _events(spark, sf_dir).select("event_id", ip.alias("ip"), mac.alias("mac"))
+    return df.select(
+        "event_id",
+        ip_to_int("ip").alias("ip_int"),
+        mac_to_int("mac").alias("mac_int"),
+    ).orderBy("event_id")
+
+
+SQL_IP_MAC_SCALARS = """
+WITH syn AS (
+  SELECT event_id,
+         (event_id % 224) || '.' || ((event_id*7) % 256) || '.' ||
+         ((event_id*13) % 256) || '.' || ((event_id*29) % 256) AS ip,
+         ((event_id % 256) * 1099511627776 + ((event_id*3) % 256) * 4294967296 +
+          ((event_id*5) % 256) * 16777216 + ((event_id*7) % 256) * 65536 +
+          ((event_id*11) % 256) * 256 + ((event_id*13) % 256)) AS mac_int_direct
+  FROM events
+)
+SELECT event_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(x AS BIGINT) FOR x IN string_split(ip, '.')]),
+                   (acc, o) -> acc * 256 + o) AS ip_int,
+       mac_int_direct AS mac_int
+FROM syn ORDER BY event_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: reference-faithful sessionize + STATS features at sf0.001."""
     return q_session_stats(spark, SF_DEFAULT)
@@ -972,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounded_sessionize": q_bounded_sessionize,
         "label_join": q_label_join,
         "dedup_clusters": q_dedup_clusters,
+        "ip_mac_scalars": q_ip_mac_scalars,
     }
 
 
@@ -1003,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_stats": SQL_STREAM_SESSION_STATS,
         "bounded_sessionize": SQL_BOUNDED_SESSIONIZE,
         "label_join": SQL_LABEL_JOIN,
+        "ip_mac_scalars": SQL_IP_MAC_SCALARS,
         # minhash_pairs / simhash_pairs / embedding_neardup / ivf_ann /
         # netml_subflows / dedup_clusters: engine-specific hashing,
         # sequential grid loops, or iterative algorithms — no SQL oracle

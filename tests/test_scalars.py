@@ -1,0 +1,37 @@
+"""Scalar functions vs python-stdlib oracles (reference parser.py:1058-1076)."""
+
+import ipaddress
+
+import numpy as np
+import pandas as pd
+
+from netml_spark.operators.scalars import packets_table
+
+
+def test_packets_table_scalars(spark):
+    pdf = pd.DataFrame(
+        {
+            "time": [1000.25, 1000.99, 1002.5, 1010.0],
+            "ip_src": ["192.168.0.1", "10.0.0.255", None, "not-an-ip"],
+            "ip_dst": ["8.8.8.8", None, "255.255.255.255", "1.2.3.4"],
+            "mac_src": ["aa:bb:cc:dd:ee:ff", "00-11-22-33-44-55", None, "zz:zz"],
+            "length": [60, 1500, 40, 800],
+        }
+    )
+    out = packets_table(spark.createDataFrame(pdf)).toPandas()
+    # column-name sorted (parser.py:1076)
+    assert list(out.columns) == sorted(out.columns)
+    # ip -> int matches ipaddress (parser.py:1062-1066), null-safe
+    exp_src = [int(ipaddress.ip_address("192.168.0.1")),
+               int(ipaddress.ip_address("10.0.0.255")), None, None]
+    got_src = [None if pd.isna(v) else int(v) for v in out["ip_src_int"]]
+    assert got_src == exp_src
+    # mac -> int48 (parser.py:1068-1072)
+    assert int(out["mac_src_int"][0]) == 0xAABBCCDDEEFF
+    assert int(out["mac_src_int"][1]) == 0x001122334455
+    assert pd.isna(out["mac_src_int"][2]) and pd.isna(out["mac_src_int"][3])
+    # datetime truncates to whole seconds (parser.py:994)
+    assert out["datetime"][0].second == 40  # 1000 % 60
+    assert out["datetime"][0].microsecond == 0
+    # time_normed anchored at global min (parser.py:1074)
+    np.testing.assert_allclose(sorted(out["time_normed"]), [0.0, 0.74, 2.25, 9.75])

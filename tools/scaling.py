@@ -81,13 +81,28 @@ def main():
             break
         time.sleep(60)
     rN = r4N = None
+    qminN: dict = {}
+    qmin4N: dict = {}
     for _ in range(runs):
         a = run_bench_once(n)
         b = run_bench_once(n4)
+        for q, t in a["queries"].items():
+            qminN[q] = min(qminN.get(q, t), t)
+        for q, t in b["queries"].items():
+            qmin4N[q] = min(qmin4N.get(q, t), t)
         if rN is None or a["value"] < rN["value"]:
             rN = a
         if r4N is None or b["value"] < r4N["value"]:
             r4N = b
+    # noise-robust estimate: per-query minima across trials (the VM's
+    # transient slowdowns only ever ADD time, so minima approximate the
+    # contention-free runtime at each level)
+    rN = dict(rN, queries=qminN, value=round(sum(qminN.values()), 3))
+    r4N = dict(r4N, queries=qmin4N, value=round(sum(qmin4N.values()), 3))
+    north = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp_udf")
+    for r in (rN, r4N):
+        ns = sum(r["queries"][q] for q in north)
+        r["sequences_per_sec"] = round(len(north) * r["n_sequences"] / ns, 1)
     thrN, thr4N = rN["sequences_per_sec"], r4N["sequences_per_sec"]
     eff_seq = thr4N / (4 * thrN)
     eff_total = rN["value"] / (4 * r4N["value"])
