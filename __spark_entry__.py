@@ -379,7 +379,9 @@ ORDER BY l_returnflag, l_linestatus
 
 def q_iat_arrays(spark, sf_dir):
     """Per-user IAT array (np.diff twin, parser.py:354-375) — native kernel
-    over the collected sequence (§2.6)."""
+    over the collected sequence (§2.6). The array is serialized to a
+    comma-joined %.6f string so the driver canonicalizer (pandas
+    sort_values over raw columns) can hash it — list cells are unsortable."""
     from netml_spark.operators import kernels
     from netml_spark.operators.sequences import events_to_sequences
 
@@ -389,7 +391,11 @@ def q_iat_arrays(spark, sf_dir):
     )
     return seqs.select(
         "user_id",
-        F.transform(kernels.iat("times"), lambda x: F.round(x, 6)).alias("iat"),
+        F.concat_ws(
+            ",",
+            F.transform(kernels.iat("times"),
+                        lambda x: F.format_string("%.6f", F.round(x, 6))),
+        ).alias("iat"),
     ).orderBy("user_id")
 
 
@@ -398,9 +404,14 @@ WITH g AS (
   SELECT user_id, ts, event_id,
          round(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap
   FROM events
+), s AS (
+  SELECT user_id,
+         array_agg(gap ORDER BY ts, event_id) FILTER (WHERE gap IS NOT NULL) AS iat
+  FROM g GROUP BY user_id
 )
-SELECT user_id, array_agg(gap ORDER BY ts, event_id) AS iat
-FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id
+SELECT user_id,
+       array_to_string(list_transform(COALESCE(iat, []), x -> printf('%.6f', x)), ',') AS iat
+FROM s ORDER BY user_id
 """
 
 
@@ -413,11 +424,15 @@ def q_pad_truncate(spark, sf_dir):
         _events(spark, sf_dir), ("user_id",), "ts", "event_id", ("event_id",),
         carry_cols=(),
     )
-    # tokens here = event_id series (ints -> no float drift)
+    # tokens here = event_id series (ints -> no float drift); serialized to a
+    # comma-joined string for the driver canonicalizer (lists are unsortable)
     return seqs.select(
         "user_id",
-        F.transform(kernels.pad_truncate(F.transform("tokens", lambda x: x.cast("double")), 8),
-                    lambda x: x.cast("long")).alias("padded"),
+        F.concat_ws(
+            ",",
+            F.transform(kernels.pad_truncate(F.transform("tokens", lambda x: x.cast("double")), 8),
+                        lambda x: x.cast("long").cast("string")),
+        ).alias("padded"),
     ).orderBy("user_id")
 
 
@@ -427,7 +442,7 @@ WITH s AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id,
-       [CASE WHEN i <= len(toks) THEN toks[i] ELSE 0 END FOR i IN range(1, 9)] AS padded
+       array_to_string([CASE WHEN i <= len(toks) THEN toks[i] ELSE 0 END FOR i IN range(1, 9)], ',') AS padded
 FROM s ORDER BY user_id
 """
 
@@ -442,14 +457,14 @@ def q_sequences_build(spark, sf_dir):
     )
     return seqs.select(
         F.col("user_id").cast("string").alias("doc_id"),
-        "tokens",
+        F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))).alias("tokens"),
         "n_tok",
     ).orderBy("doc_id")
 
 
 SQL_SEQUENCES_BUILD = """
 SELECT CAST(user_id AS VARCHAR) AS doc_id,
-       array_agg(CAST(event_id AS INT) ORDER BY ts, event_id) AS tokens,
+       array_to_string(array_agg(CAST(event_id AS INT) ORDER BY ts, event_id), ',') AS tokens,
        CAST(COUNT(*) AS INT) AS n_tok
 FROM events GROUP BY user_id ORDER BY doc_id
 """
@@ -799,8 +814,8 @@ def q_salted_agg(spark, sf_dir):
 SQL_SALTED_AGG = """
 SELECT user_id,
        COUNT(*) AS count_value,
-       ROUND(SUM(CAST(value AS DOUBLE)), 4) AS sum_value,
-       ROUND(AVG(CAST(value AS DOUBLE)), 6) AS mean_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
        MIN(CAST(value AS DOUBLE)) AS min_value,
        MAX(CAST(value AS DOUBLE)) AS max_value
 FROM events GROUP BY user_id ORDER BY user_id

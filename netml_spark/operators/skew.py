@@ -13,11 +13,11 @@ passes — a single giant entity still lands on one task. Two engine tools:
 Sessionization itself cannot be salted without breaking gap semantics
 across salt boundaries (a session may span salts); the engine's stance for
 huge entities is bounded-session processing: pre-split entities on coarse
-time buckets (>> timeout) so each bucket's sessions are independent, which
-``bounded_sessionize`` implements — correct whenever the bucket width is a
-multiple of the timeout and sessions shorter than one bucket... which is
-NOT generally true, so it instead overlaps buckets by one timeout and
-drops duplicate sessions (standard chunked sessionization).
+time buckets (>> timeout) and sessionize each bucket independently, which
+``bounded_sessionize`` implements. The ONE documented approximation is
+that a session spanning a bucket boundary is split at it (see the
+function docstring); choose bucket_width >> gap so boundary splits are
+rare (~gap/width of sessions).
 """
 
 from __future__ import annotations
@@ -50,9 +50,18 @@ def salted_agg(
     value_col: str,
     aggs: Sequence[str] = ("count", "sum", "mean", "min", "max"),
     n_salts: int = 32,
+    sum_type: str = "decimal(18,2)",
 ) -> DataFrame:
     """Two-stage salted aggregation: splits each key across ``n_salts``
     partial groups, then merges. Output columns: ``<agg>_<value_col>``.
+
+    ``sum_type`` controls the accumulator for sum/mean. The default
+    DECIMAL(18,2) is exact and associative, so the two-stage result is
+    bit-identical to a single-pass SUM no matter how the partials are
+    grouped — raw ``double`` partial sums re-order float additions and
+    drift past round() guards (the round-1 salted_agg hash mismatch).
+    Pass ``sum_type="double"`` to keep full float precision when exact
+    cross-engine reproducibility is not needed.
 
     (For non-skewed keys Spark's hash aggregate already does map-side
     partials; salting only helps when a single key's FINAL group is too
@@ -63,13 +72,14 @@ def salted_agg(
             raise ValueError(f"unsupported agg {a!r}; supported: {AGGS}")
     key_cols = list(key_cols)
     v = F.col(value_col).cast("double")
+    vs = F.col(value_col).cast(sum_type)
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
-            F.sum(v).alias("_sum"),
+            F.sum(vs).alias("_sum"),
             F.min(v).alias("_min"),
             F.max(v).alias("_max"),
         )
@@ -84,9 +94,9 @@ def salted_agg(
     if "count" in aggs:
         out_cols.append(F.col("_cnt").alias(f"count_{value_col}"))
     if "sum" in aggs:
-        out_cols.append(F.col("_sum").alias(f"sum_{value_col}"))
+        out_cols.append(F.col("_sum").cast("double").alias(f"sum_{value_col}"))
     if "mean" in aggs:
-        out_cols.append((F.col("_sum") / F.col("_cnt")).alias(f"mean_{value_col}"))
+        out_cols.append((F.col("_sum").cast("double") / F.col("_cnt")).alias(f"mean_{value_col}"))
     if "min" in aggs:
         out_cols.append(F.col("_min").alias(f"min_{value_col}"))
     if "max" in aggs:

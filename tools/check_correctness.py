@@ -49,10 +49,13 @@ def canon(v):
 
 
 def table_hash(pdf: pd.DataFrame) -> str:
+    """Mimic the DRIVER's canonicalizer: pandas sort_values over the RAW
+    columns first (this raises TypeError on list/array cells, exactly like
+    the gate — queries must serialize arrays), then hash canonicalized rows
+    in that order."""
     cols = sorted(pdf.columns)
-    rows = sorted(
-        "|".join(canon(row[c]) for c in cols) for _, row in pdf.iterrows()
-    )
+    pdf = pdf[cols].sort_values(by=cols)  # TypeError on unhashable cells = gate red
+    rows = ["|".join(canon(row[c]) for c in cols) for _, row in pdf.iterrows()]
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
