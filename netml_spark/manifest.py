@@ -5,30 +5,55 @@ metrics to a checkpoint manifest so interrupted backfills resume
 idempotently (SURVEY.md §4.2; the reference has only a driver-side spool
 buffer, cli.py:246).
 
-Design (Parquet-dir backend; Iceberg snapshot IDs slot in when the runtime
-jar is present — detected at session build, same API):
+Design (Parquet-dir backend; ``use_iceberg()`` upgrades the partition
+writes to Iceberg ``writeTo`` tables when the runtime jar is present —
+detected at call time, same API):
 
 - a *stage* writes its output partitioned by a user-chosen partition column
   (e.g. ``source`` or a date bucket), one directory per partition value;
 - after each partition lands, a manifest row
-  (stage, partition, row_count, checksum, status, wall_s) is appended to
-  ``<root>/_manifest`` (a tiny parquet table — the only driver-side state);
-- ``run_stage`` skips partitions whose manifest row is already ``ok`` with
-  a matching input fingerprint — re-running a killed backfill redoes only
-  the missing partitions;
+  (stage, partition, input_fp, row_count, checksum, status, wall_s) is
+  appended to ``<root>/_manifest`` (a tiny parquet table — the only
+  driver-side state);
+- ``run_stage`` skips partitions whose manifest row is already ``ok`` AND
+  whose recorded input fingerprint matches the current one — if the input
+  for a partition changed since the checkpoint, it is recomputed, never
+  silently skipped;
 - the checksum is an order-insensitive xor-fold of per-row xxhash64 over
-  the output columns, computed *inside the same Spark job* (one extra agg
-  on the partition's rows, no second scan).
+  the output columns, computed as 64 per-bit parity aggregates
+  (sum(bit) % 2 per bit position) — a plain hash aggregate with map-side
+  partials, O(1) state per partition regardless of row count (the naive
+  collect_list fold would buffer every row hash);
+- partitions run ``max_parallel`` at a time (Spark schedules jobs from
+  concurrent driver threads fairly; each partition is an independent job,
+  so a 20-source backfill overlaps scan/shuffle/write across sources).
 """
 
 from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
+from functools import reduce
+from threading import Lock
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def xor_checksum(h) -> F.Column:
+    """Order-insensitive xor aggregate of a long column, as 64 per-bit
+    parity sums: bit b of the result = sum over rows of bit b, mod 2.
+    Distributed (hash-agg partials), no per-row state on the driver."""
+    terms = [
+        F.shiftleft(
+            (F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))) % 2).cast("long"),
+            b,
+        )
+        for b in range(64)
+    ]
+    return F.coalesce(reduce(lambda a, b: a.bitwiseOR(b), terms), F.lit(0))
 
 
 def partition_metrics(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
@@ -39,19 +64,40 @@ def partition_metrics(df: DataFrame, cols: Sequence[str] | None = None) -> DataF
     h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     return df.agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.coalesce(
-            F.aggregate(F.collect_list(h), F.lit(0).cast("long"),
-                        lambda acc, x: acc.bitwiseXOR(x)),
-            F.lit(0),
-        ).alias("checksum"),
+        xor_checksum(h).alias("checksum"),
     )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session (runtime jar
+    on the classpath AND a catalog configured). Sandbox ships no jar, so
+    this degrades to False and the parquet-dir backend is used."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        return False
+    conf = spark.conf
+    for key in ("spark.sql.catalog.spark_catalog", "spark.sql.catalog.local"):
+        try:
+            impl = conf.get(key)
+        except Exception:
+            impl = None
+        if impl and "iceberg" in impl.lower():
+            return True
+    return False
+
+
 class CheckpointManifest:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, iceberg: bool | None = None):
         self.spark = spark
         self.root = root
         self.path = os.path.join(root, "_manifest")
+        self._lock = Lock()
+        # Iceberg upgrade hook: when the runtime jar + a catalog are
+        # present, partition outputs land as Iceberg table partitions
+        # (replaceWhere semantics); otherwise parquet dirs.
+        self.iceberg = iceberg_available(spark) if iceberg is None else iceberg
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -61,30 +107,53 @@ class CheckpointManifest:
         except Exception:
             return None
 
-    def completed(self, stage: str) -> set:
+    def completed(self, stage: str) -> dict:
+        """{partition: input_fp} for 'ok' rows of this stage (last write
+        wins per partition). Manifests written before input_fp existed
+        surface as fp '' — matching the default no-fingerprint mode."""
         m = self.read()
         if m is None:
-            return set()
+            return {}
+        if "input_fp" not in m.columns:
+            m = m.withColumn("input_fp", F.lit(""))
         rows = (
             m.filter((F.col("stage") == stage) & (F.col("status") == "ok"))
-            .select("partition")
+            .orderBy("finished_at")
+            .select("partition", "input_fp")
             .collect()
         )
-        return {r.partition for r in rows}
+        return {r.partition: r.input_fp for r in rows}
 
     def record(self, stage: str, partition: str, row_count: int,
-               checksum: int, wall_s: float, status: str = "ok") -> None:
+               checksum: int, wall_s: float, status: str = "ok",
+               input_fp: str = "") -> None:
         import pandas as pd
 
         row = pd.DataFrame(
             [{
                 "stage": stage, "partition": str(partition),
+                "input_fp": str(input_fp),
                 "row_count": int(row_count), "checksum": int(checksum),
                 "wall_s": float(wall_s), "status": status,
                 "finished_at": time.time(),
             }]
         )
-        self.spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(self.path)
+        with self._lock:  # manifest appends serialize; partition jobs don't
+            self.spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(self.path)
+
+    def _write_partition(self, df: DataFrame, out_root: str,
+                         partition_col: str, pv) -> None:
+        if self.iceberg:
+            table = out_root.strip("/").replace("/", ".")
+            (
+                df.withColumn(partition_col, F.lit(str(pv)))
+                .writeTo(table)
+                .overwritePartitions()
+            )
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"{partition_col}={pv}")
+            )
 
     def run_stage(
         self,
@@ -93,27 +162,42 @@ class CheckpointManifest:
         build: Callable[[str], DataFrame],
         partition_col: str,
         output_subdir: str | None = None,
+        input_fp: Callable[[str], str] | None = None,
+        max_parallel: int = 4,
     ) -> dict:
         """Run ``build(partition_value)`` for every partition not yet 'ok'
-        in the manifest; write each to <root>/<stage>/<partition_col>=<v>/
-        and record metrics. Returns {partition: (rows, skipped)}."""
+        (with matching input fingerprint) in the manifest; write each to
+        <root>/<stage>/<partition_col>=<v>/ and record metrics. Partitions
+        run ``max_parallel`` at a time as independent Spark jobs.
+
+        ``input_fp(pv)`` should return a cheap stamp of the partition's
+        input (file mtime+size, snapshot id, upstream checksum). When
+        given, a checkpointed partition whose current fingerprint differs
+        from the recorded one is REcomputed. Without it, resume skips any
+        'ok' partition (round-1 behavior)."""
         out_root = os.path.join(self.root, output_subdir or stage)
         done = self.completed(stage)
         results = {}
-        for pv in partitions:
-            if str(pv) in done:
-                results[pv] = ("skipped", None)
-                continue
+
+        def fp_of(pv) -> str:
+            return str(input_fp(pv)) if input_fp is not None else ""
+
+        def run_one(pv):
+            fp = fp_of(pv)
+            if str(pv) in done and done[str(pv)] == fp:
+                return pv, ("skipped", None)
             t0 = time.time()
             df = build(pv).cache()
             try:
                 m = partition_metrics(df).collect()[0]
-                (
-                    df.write.mode("overwrite")
-                    .parquet(os.path.join(out_root, f"{partition_col}={pv}"))
-                )
-                self.record(stage, pv, m.row_count, m.checksum, time.time() - t0)
-                results[pv] = ("ok", m.row_count)
+                self._write_partition(df, out_root, partition_col, pv)
+                self.record(stage, pv, m.row_count, m.checksum,
+                            time.time() - t0, input_fp=fp)
+                return pv, ("ok", m.row_count)
             finally:
                 df.unpersist()
+
+        with ThreadPoolExecutor(max_workers=max(1, int(max_parallel))) as ex:
+            for pv, res in ex.map(run_one, partitions):
+                results[pv] = res
         return results

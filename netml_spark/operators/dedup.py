@@ -68,13 +68,20 @@ def exact_dedup(
 
 
 def word_shingles(text_col: str = "text", n: int = 3):
-    """Distinct word n-grams as array<string> — native expression."""
+    """Distinct word n-grams as array<string> — native expression.
+
+    Docs with fewer than n words yield an EMPTY array: the sequence is
+    guarded behind when(k >= 1) because sequence(1, k) with k <= 0 steps
+    DOWNWARD ([1, 0]) and slice(words, 0, n) throws under ANSI mode."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -84,20 +91,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle-join:
-    explode distinct shingles -> drop shingles shared by > max_shingle_freq
-    docs (stop-shingle skew guard) -> self-join on shingle -> per-pair
+    """Jaccard-similar pairs via shingle-join:
+    explode distinct shingles -> self-join on shingle -> per-pair
     intersection count -> jaccard = inter / (|A| + |B| - inter).
-    Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    EXACT when ``max_shingle_freq`` is None (the default — what the DuckDB
+    oracle checks). Setting it drops shingles shared by more than that many
+    docs before the self-join (stop-shingle skew guard for web-scale
+    corpora): jaccard is then UNDERestimated for pairs whose overlap
+    includes pruned shingles, because na/nb keep the full shingle counts —
+    an explicit recall/precision trade, opt in only at scale."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.size(word_shingles(text_col, n)).alias("n_sh"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-    sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "shingle")
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("f") <= max_shingle_freq)), "shingle").drop("f")
     a = sh.select("shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     b = sh.select("shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     pairs = (

@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 def ip_to_int(col: Column | str) -> Column:
     """Dotted-quad IPv4 string -> numeric (null for null/malformed).
-    aggregate(split(ip,'.'), 0L, (acc, o) -> acc*256 + o)."""
+    aggregate(split(ip,'.'), 0L, (acc, o) -> acc*256 + o). Malformed
+    includes octets > 255 ('300.1.2.3' -> null), matching the reference's
+    int(ipaddress.ip_address(x)) which rejects them (parser.py:1062)."""
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, r"\.")
     val = F.aggregate(
@@ -31,7 +33,9 @@ def ip_to_int(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, o: acc * 256 + o.cast("long"),
     )
-    ok = c.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    ok = c.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") & F.forall(
+        parts, lambda o: o.cast("int") <= 255
+    )
     return F.when(c.isNotNull() & ok, val)
 
 

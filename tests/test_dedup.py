@@ -24,6 +24,21 @@ def docs_with_dups(spark):
     return docs.unionByName(extra_df)
 
 
+def test_short_docs_yield_empty_shingles(spark):
+    """Docs with < n words must produce an EMPTY shingle array, not an
+    ANSI slice error (sequence(1, k<=0) steps downward)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": ["one", "two words", "", "a b c d"]})
+    )
+    out = df.select("doc_id", dedup.word_shingles("text", 3).alias("sh")).toPandas()
+    sizes = dict(zip(out.doc_id, out.sh.map(len)))
+    assert sizes[1] == 0 and sizes[2] == 0 and sizes[3] == 0 and sizes[4] == 2
+    # and the pair join runs end-to-end over a corpus containing short docs
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.1, n=3).toPandas()
+    assert set(zip(pairs.id_a, pairs.id_b)) == set()
+
+
 def test_exact_dedup(spark, docs_with_dups):
     out = dedup.exact_dedup(docs_with_dups).toPandas()
     dup_groups = out[out.n_dups > 1]

@@ -42,3 +42,45 @@ def test_run_stage_resume(spark, tmp_path):
     assert os.path.exists(os.path.join(root, "stage1", "src=a"))
     man = m.read().filter(F.col("status") == "ok").toPandas()
     assert len(man) == 3 and set(man.partition) == {"a", "b", "c"}
+
+
+def test_run_stage_input_fingerprint_recompute(spark, tmp_path):
+    """A checkpointed partition whose input fingerprint changed is
+    recomputed, not silently skipped (stale-resume guard)."""
+    root = str(tmp_path / "ckpt_fp")
+    m = CheckpointManifest(spark, root)
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        return spark.createDataFrame(pd.DataFrame({"src": [p] * 2, "v": [1, 2]}))
+
+    fps = {"a": "v1", "b": "v1"}
+    m.run_stage("s", ["a", "b"], build, "src", input_fp=lambda p: fps[p])
+    assert sorted(calls) == ["a", "b"]
+
+    calls.clear()
+    fps["b"] = "v2"  # b's input changed
+    r = m.run_stage("s", ["a", "b"], build, "src", input_fp=lambda p: fps[p])
+    assert r["a"] == ("skipped", None)
+    assert r["b"] == ("ok", 2)
+    assert calls == ["b"]
+
+    calls.clear()  # and the new fp is now checkpointed
+    r = m.run_stage("s", ["a", "b"], build, "src", input_fp=lambda p: fps[p])
+    assert calls == [] and all(v[0] == "skipped" for v in r.values())
+
+
+def test_run_stage_parallel(spark, tmp_path):
+    """max_parallel > 1 computes every partition exactly once."""
+    root = str(tmp_path / "ckpt_par")
+    m = CheckpointManifest(spark, root)
+
+    def build(p):
+        return spark.createDataFrame(pd.DataFrame({"src": [p] * 3, "v": [1, 2, 3]}))
+
+    parts = [f"p{i}" for i in range(6)]
+    r = m.run_stage("par", parts, build, "src", max_parallel=4)
+    assert all(r[p] == ("ok", 3) for p in parts)
+    man = m.read().filter(F.col("status") == "ok").toPandas()
+    assert sorted(man.partition) == sorted(parts)

@@ -35,3 +35,15 @@ def test_packets_table_scalars(spark):
     assert out["datetime"][0].microsecond == 0
     # time_normed anchored at global min (parser.py:1074)
     np.testing.assert_allclose(sorted(out["time_normed"]), [0.0, 0.74, 2.25, 9.75])
+
+
+def test_ip_to_int_rejects_out_of_range_octets(spark):
+    """ipaddress.ip_address rejects octets > 255 — so must the engine
+    (reference parser.py:1062: malformed -> null)."""
+    from netml_spark.operators.scalars import ip_to_int
+
+    pdf = pd.DataFrame({"ip": ["300.1.2.3", "256.0.0.1", "255.255.255.255",
+                               "0.0.0.0", "1.2.3.999"]})
+    out = spark.createDataFrame(pdf).select(ip_to_int("ip").alias("v")).toPandas()
+    got = [None if pd.isna(v) else int(v) for v in out["v"]]
+    assert got == [None, None, int(ipaddress.ip_address("255.255.255.255")), 0, None]
