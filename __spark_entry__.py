@@ -743,12 +743,16 @@ FROM s ORDER BY doc_id
 """
 
 
-# queries with no SQL oracle (rows-only check): LSH/ANN internals
+# LSH/ANN queries — every hash is the portable P31 polynomial family, so
+# the DuckDB oracle reproduces signatures, buckets, and pairs EXACTLY
+# (builders below generate the SQL from the same seeded parameters).
 def q_minhash_pairs(spark, sf_dir):
     from netml_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     sigs = minhash_signatures(_documents(spark, sf_dir), n_hashes=64)
-    return minhash_lsh_pairs(sigs, bands=16, threshold=0.5).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(
+        sigs, n_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -762,7 +766,8 @@ def q_embedding_neardup(spark, sf_dir):
     from netml_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _embeddings(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=8
+        _embeddings(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=8,
+        dim=64,
     ).orderBy("id_a", "id_b")
 
 
@@ -771,8 +776,223 @@ def q_ivf_ann(spark, sf_dir):
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
-    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3,
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3, dim=64,
                     query_id_col="query_id").orderBy("query_id", "rank")
+
+
+_P31 = 2147483647
+
+
+def _sql_poly(expr: str, mult: int) -> str:
+    """DuckDB twin of dedup.poly_hash: char-code polynomial mod P31."""
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[CAST(unicode(c) AS BIGINT) FOR c IN string_split({expr}, '')]), "
+            f"(acc, ch) -> (acc * {mult} + ch) % {_P31})")
+
+
+_SQL_SHINGLES = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws)-2, 0) + 1)]) AS shingles
+  FROM w
+)"""
+
+
+def _sql_minhash_pairs() -> str:
+    """Brute-force DuckDB twin of minhash_signatures + minhash_lsh_pairs:
+    same shingles, same affine permutations, same band hashes — a pair is
+    emitted iff >=1 band hash matches AND est_jaccard >= 0.5."""
+    from netml_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(64, 42)
+    sig_elems = ", ".join(
+        f"list_min([({int(ai)} * x + {int(bi)}) % {_P31} FOR x IN xs])"
+        for ai, bi in zip(a, b)
+    )
+    sentinel = ", ".join([str(_P31)] * 64)
+    return f"""{_SQL_SHINGLES}, hx AS (
+  SELECT doc_id, [{_sql_poly('s', 131)} FOR s IN shingles] AS xs FROM sh
+), sig AS (
+  SELECT doc_id,
+         CASE WHEN len(xs) = 0 THEN [{sentinel}] ELSE [{sig_elems}] END AS sig
+  FROM hx
+), banded AS (
+  SELECT doc_id, sig,
+         [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, i*4+1, i*4+4)),
+                      (acc, x) -> (acc * 131 + x) % {_P31})
+          FOR i IN range(0, 16)] AS bh
+  FROM sig
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len([1 FOR i IN range(1, 65) IF a.sig[i] = b.sig[i]]) / 64.0 AS est
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND len([1 FOR i IN range(1, 17) IF a.bh[i] = b.bh[i]]) > 0
+)
+SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
+FROM pairs WHERE est >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_simhash_pairs() -> str:
+    """Brute-force DuckDB twin of simhash_signatures + simhash_pairs.
+    Bit-band bucketing with 4 bands is pigeonhole-EXACT for hamming <= 3,
+    so the engine's LSH output equals the brute-force hamming filter."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+), wh AS (
+  SELECT doc_id,
+         [{_sql_poly('wd', 131)} + {_sql_poly('wd', 137)} * 2147483648 FOR wd IN ws] AS whs
+  FROM w
+), sig AS (
+  SELECT doc_id,
+         CASE WHEN len(whs) = 0 THEN CAST(0 AS BIGINT) ELSE
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CASE WHEN 2 * len([1 FOR h IN whs IF ((h >> b) & 1) = 1]) > len(whs)
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+              FOR b IN range(0, 62)]),
+             (acc, x) -> acc + x) END AS simhash
+  FROM wh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_dot(vexpr: str, coefs) -> str:
+    """Left-fold dot product against literal coefficients — identical
+    float-addition order to dedup.dot_literal's aggregate fold."""
+    terms = " + ".join(f"{vexpr}[{i + 1}] * {float(c)!r}" for i, c in enumerate(coefs))
+    return f"(0.0 + {terms})"
+
+
+_SQL_COS = """(
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN range(1, len({a})+1)]),
+    (x, y) -> x + y)
+  / ( sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN {a}]), (x, y) -> x + y))
+    * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN {b}]), (x, y) -> x + y)) )
+)"""
+
+
+def _sql_embedding_neardup() -> str:
+    """DuckDB twin of embedding_neardup_pairs (n_planes=4, n_tables=8,
+    dim=64, seed=42): identical literal hyperplanes, identical fold-order
+    sign tests, identical cosine verify."""
+    from netml_spark.operators.dedup import hyperplanes
+
+    planes = hyperplanes(8, 4, 64, 42)
+
+    def bucket(t: int) -> str:
+        parts = [
+            f"CASE WHEN {_sql_dot('embedding', planes[t][p])} > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(4)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding AS v, {t} AS tbl, {bucket(t)} AS bucket FROM embeddings"
+        for t in range(8)
+    )
+    cos = _SQL_COS.format(a="va", b="vb")
+    return f"""
+WITH b AS (
+  {arms}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b, a.v AS va, b2.v AS vb
+  FROM b a JOIN b b2
+    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, ROUND({cos}, 6) AS cosine
+FROM cand WHERE {cos} >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_ivf_ann() -> str:
+    """DuckDB twin of ivf_topk with the seeded random unit centroids
+    (n_cells=8, n_probe=3, dim=64, k=5): identical literal centroids,
+    fold-order dots, first-max cell assignment, (dot desc, cell) probe
+    order, (cosine desc, vec_id) re-rank."""
+    from netml_spark.operators.similarity import ivf_random_centroids
+
+    C = ivf_random_centroids(8, 64, 42)
+    dots = "[" + ", ".join(_sql_dot("embedding", c) for c in C) + "]"
+    qarms = "\n  UNION ALL ".join(
+        f"SELECT query_id, qv, {j} AS cell, {_sql_dot('qv', C[j])} AS d FROM q"
+        for j in range(8)
+    )
+    cos = _SQL_COS.format(a="qv", b="embedding")
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding,
+         CAST(list_position({dots}, list_aggregate({dots}, 'max')) - 1 AS INT) AS cell
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+), qd AS (
+  {qarms}
+), qp AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d DESC, cell) AS rn
+    FROM qd
+  ) WHERE rn <= 3
+), scored AS (
+  SELECT qp.query_id, c.vec_id, {cos} AS rawcos
+  FROM c JOIN qp ON c.cell = qp.cell
+), ranked AS (
+  SELECT query_id, vec_id, ROUND(rawcos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _sql_dedup_clusters() -> str:
+    """DuckDB twin of dedup_clusters over the jaccard>=0.2 pair graph:
+    cluster_id = min reachable id (transitive closure by recursive CTE;
+    the engine's min-label propagation converges to the same fixpoint)."""
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws)-2, 0) + 1)]) AS shingles
+  FROM w
+), ex AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         COUNT(*) AS inter, ANY_VALUE(a.n_sh) AS na, ANY_VALUE(b.n_sh) AS nb
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM jp WHERE inter / (na + nb - inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach AS (
+  SELECT src AS id, dst AS r FROM edges
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
 
 
 def q_netml_subflows(spark, sf_dir):
@@ -1062,8 +1282,13 @@ def oracle_sql() -> dict[str, str]:
         "bounded_sessionize": SQL_BOUNDED_SESSIONIZE,
         "label_join": SQL_LABEL_JOIN,
         "ip_mac_scalars": SQL_IP_MAC_SCALARS,
-        # minhash_pairs / simhash_pairs / embedding_neardup / ivf_ann /
-        # netml_subflows / dedup_clusters: engine-specific hashing,
-        # sequential grid loops, or iterative algorithms — no SQL oracle
-        # (driver rows-only check)
+        "minhash_pairs": _sql_minhash_pairs(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "embedding_neardup": _sql_embedding_neardup(),
+        "ivf_ann": _sql_ivf_ann(),
+        "dedup_clusters": _sql_dedup_clusters(),
+        # netml_subflows: the grid re-split anchor is a sequential
+        # recurrence over previous splits (parser.py:209-299) — not
+        # SQL-expressible; driver rows-only check, numpy-oracle pytest
+        # parity in tests/test_sessionize.py
     }

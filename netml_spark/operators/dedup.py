@@ -9,14 +9,21 @@ expressed Spark-first:
                              + equi-join (the classic candidate-pair join) —
                              fully native and SQL-expressible (DuckDB oracle).
 - ``minhash_signatures``/``minhash_lsh_pairs``: MinHash + banded LSH.
-                             Signature kernel is one vectorized numpy matrix
-                             min per Arrow batch; banding/bucketing native.
-- ``simhash_signatures``/``simhash_pairs``: 64-bit SimHash, near-dup =
-                             hamming distance <= k, candidates via bit-band
-                             bucketing (4x16-bit tables for k<=3).
+                             Portable polynomial shingle hashes (native) +
+                             ONE batch-vectorized affine-mod/segment-min
+                             numpy kernel per Arrow batch; banding native.
+- ``simhash_signatures``/``simhash_pairs``: 62-bit SimHash over portable
+                             word hashes, near-dup = hamming distance <= k,
+                             candidates via bit-band bucketing (4x16-bit
+                             tables for k<=3 — pigeonhole-exact).
 - ``embedding_neardup_pairs``: cosine near-duplicates over an embedding
-                             column; brute pair join at small scale, random
-                             hyperplane LSH buckets at scale.
+                             column via random hyperplane LSH buckets;
+                             bucketing/verify are native sequential-fold
+                             expressions, bit-reproducible in the oracle.
+
+All hashing is engine-portable (P31 polynomial family, exact in int64),
+so every signature, bucket, and pair is reproducible in ANSI SQL — the
+DuckDB gate checks these operators end-to-end, not just row counts.
 
 Scale notes: every pair-producing operator buckets FIRST (band hash / bit
 band / hyperplane bucket) so the join key is the bucket, never a cross
@@ -130,29 +137,41 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# Portable polynomial hashing (engine- and oracle-reproducible)
 # ---------------------------------------------------------------------------
 
+# 2^31 - 1 (Mersenne prime). All hash values live in [0, P31): products
+# a*x stay under 2^62, so every intermediate fits signed int64 exactly —
+# in numpy, in Spark's ANSI long arithmetic, AND in DuckDB BIGINT, which
+# is what makes MinHash/SimHash signatures cross-engine checkable.
+P31 = 2147483647
 
-def _hash_params(n_hashes: int, seed: int = 42):
-    """Per-permutation 64-bit salts for the splitmix64 finalizer (a uint64
-    bijection — proper min-wise hashing with pure wrap-around numpy uint64
-    arithmetic; an affine (a*x+b) family with small coefficients is NOT
-    min-wise independent: it rarely wraps, so min(h(x)) == h(min(x)))."""
+
+def poly_hash(col, mult: int = 131):
+    """Portable per-string polynomial hash: fold over characters of
+    (acc*mult + codepoint) % P31 — the same construct as text.fingerprint
+    (oracle-proven char-code parity with DuckDB's unicode())."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * mult + F.ascii(ch)) % F.lit(P31),
+    )
+
+
+def minhash_params(n_hashes: int, seed: int = 42):
+    """Seeded (a, b) coefficients for the affine permutation family
+    h_i(x) = (a_i*x + b_i) mod P31 over the P31 universe — the classic
+    universal family (Broder's MinHash construction); exact in int64."""
     rng = np.random.default_rng(seed)
-    return rng.integers(0, np.iinfo(np.uint64).max, size=n_hashes, dtype=np.uint64)
+    a = rng.integers(1, P31, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, P31, size=n_hashes, dtype=np.int64)
+    return a, b
 
 
-def _splitmix64(z: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — bijective uint64 mixer (public-domain PRNG
-    constant set; same mixing used by java.util.SplittableRandom)."""
-    z = z.copy()
-    z ^= z >> np.uint64(30)
-    z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    z *= np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
-    return z
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
 
 
 def minhash_signatures(
@@ -163,59 +182,75 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig:array<long>) — MinHash over xxhash64'd word shingles.
-    Per-row work is ONE numpy (n_shingles x n_hashes) broadcast-min inside a
-    pandas UDF (Arrow batches; no per-row Python)."""
-    salts = _hash_params(n_hashes, seed)
+    """(id, sig:array<long>) — MinHash over portably-hashed word shingles.
+
+    Shingle hashing is a native column expression (poly_hash); the minhash
+    kernel is batch-vectorized numpy: ALL rows of an Arrow batch are
+    concatenated into one flat array, mixed with ONE (total_shingles x
+    n_hashes) affine-mod broadcast, and reduced per row with
+    np.minimum.reduceat — no per-row Python loop (the round-1 kernel
+    iterated rows, which capped throughput). Empty docs get the sentinel
+    signature [P31]*n_hashes (P31 is above every attainable hash)."""
+    a, b = minhash_params(n_hashes, seed)
 
     @pandas_udf("array<long>")
     def _minhash(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            h = np.asarray(h).astype(np.int64).view(np.uint64)
-            if len(h) == 0:
-                out.append(np.full(n_hashes, np.iinfo(np.int64).max, dtype=np.int64))
-                continue
-            # one (n_shingles x n_hashes) mix + column-min, all uint64
-            hx = _splitmix64(h[:, None] + salts[None, :])
-            out.append(np.min(hx, axis=0).view(np.int64))
-        return pd.Series(out)
+        lens = hashes.map(len).to_numpy(dtype=np.int64)
+        out = np.full((len(hashes), n_hashes), P31, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
+            )
+            hx = (flat[:, None] * a[None, :] + b[None, :]) % P31
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            out[nz] = np.minimum.reduceat(hx, starts, axis=0)
+        return pd.Series(list(out))
 
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, shingle_n), lambda x: F.xxhash64(x)).alias("_sh"),
+        F.transform(word_shingles(text_col, shingle_n), lambda x: poly_hash(x)).alias("_sh"),
     )
     return sh.select("id", _minhash("_sh").alias("sig"))
 
 
+def band_hash(sig_col, band: int, rows_per_band: int):
+    """Portable band bucket key: polynomial fold of one signature band —
+    (acc*131 + sig_value) % P31, reproducible in the DuckDB oracle."""
+    return F.aggregate(
+        F.slice(sig_col, band * rows_per_band + 1, rows_per_band),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % F.lit(P31),
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
+    n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` equal bands, bucket
     by (band index, band hash), emit candidate pairs whose estimated
-    Jaccard (matching signature fraction) >= threshold."""
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    Jaccard (matching signature fraction) >= threshold.
+
+    ``n_hashes`` is a parameter (the caller built the signatures and knows
+    it) — round 1 inferred it with sigs.first(), a plan-time driver action
+    that recomputed a signature partition on every call and crashed on
+    empty input."""
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         "id", "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    band_hash(F.col("sig"), i, rows_per_band).alias("bh"),
+                )
+                for i in range(bands)
+            ])
         ).alias("b"),
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -249,6 +284,10 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize the edge list ONCE — every propagation round joins (and
+    # the convergence count scans) edges; without truncating the lineage
+    # each round re-derives the full upstream pair join from scratch
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("src").union(edges.select("dst")).distinct() \
         .select(F.col("src").alias("id"), F.col("src").alias("cluster_id"))
     for _ in range(max_iter):
@@ -282,31 +321,46 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 62  # 2 x 31-bit portable word hashes; bits 62-63 always 0
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    seed: int = 42,
 ) -> DataFrame:
-    """64-bit SimHash over word hashes: sign-sum of the 64 bit columns of
-    each word's xxhash64. One numpy bit-unpack + sum per Arrow batch."""
+    """62-bit SimHash over portable word hashes: each word hashes to
+    poly131 | (poly137 << 31) (two independent 31-bit polynomial hashes —
+    exactly reproducible in the DuckDB oracle); the signature sets bit b
+    when a strict majority of words have bit b set.
+
+    The kernel is batch-vectorized: one flat (total_words x 62) bit
+    unpack + np.add.reduceat per Arrow batch — no per-row Python loop."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     @pandas_udf("long")
     def _simhash(hashes: pd.Series) -> pd.Series:
+        lens = hashes.map(len).to_numpy(dtype=np.int64)
         out = np.zeros(len(hashes), dtype=np.int64)
-        for i, h in enumerate(hashes):
-            h = np.asarray(h, dtype=np.uint64)
-            if len(h) == 0:
-                continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            v = np.where(bits.sum(axis=0) * 2 > len(h), 1, 0).astype(np.uint64)
-            out[i] = int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
+            ).astype(np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            cnts = np.add.reduceat(bits, starts, axis=0)
+            maj = (2 * cnts > lens[nz][:, None]).astype(np.uint64)
+            out[nz] = (maj << shifts[None, :]).sum(axis=1).astype(np.int64)
         return pd.Series(out)
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     wh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(words, lambda x: F.xxhash64(x)).alias("_wh"),
+        F.transform(
+            words,
+            lambda x: poly_hash(x, 131) + poly_hash(x, 137) * F.lit(1 << 31),
+        ).alias("_wh"),
     )
     return wh.select("id", _simhash("_wh").alias("simhash"))
 
@@ -336,7 +390,7 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> Da
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -355,6 +409,26 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian hyperplanes (n_tables, n_planes, dim) — shared by
+    the engine and the DuckDB oracle builder so both bucket identically."""
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_tables, n_planes, dim))
+
+
+def dot_literal(vec_col, coefs) -> F.Column:
+    """Sequential-fold dot product of an array<double> column against a
+    literal coefficient vector: ((0 + v1*c1) + v2*c2) + ... — the SAME
+    left-fold order as DuckDB's list_reduce, so the float result (and any
+    sign test on it) is bit-identical across engines."""
+    arr = F.array(*[F.lit(float(c)) for c in coefs])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -362,6 +436,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     n_tables: int = 1,
+    dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Cosine near-duplicate pairs: random-hyperplane LSH (sign signature
@@ -369,27 +444,26 @@ def embedding_neardup_pairs(
     tables) -> per-(table, bucket) self-join -> exact cosine verify.
     Recall per pair at angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables — use
     n_planes=16, n_tables=1 for >=0.95 dedup; fewer planes + more tables
-    for lower thresholds."""
-    dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
+    for lower thresholds.
 
-    @pandas_udf("array<long>")
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
-        out = np.empty((len(M), n_tables), dtype=np.int64)
-        for t in range(n_tables):
-            signs = (M @ planes[t].T) > 0
-            out[:, t] = (
-                (signs.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64))
-                .sum(axis=1)
-                .astype(np.int64)
-            )
-        return pd.Series(list(out))
+    Bucketing is a NATIVE column expression (sign of sequential-fold dot
+    products against literal planes): fully codegen, no plan-time driver
+    action (round 1 ran df.first() for the dim and a numpy-matmul UDF whose
+    summation order the oracle could not reproduce). ``dim`` must equal the
+    embedding length (it sizes the literal planes)."""
+    planes = hyperplanes(n_tables, n_planes, dim, seed)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def bucket(t: int) -> F.Column:
+        e = F.lit(0).cast("long")
+        for p in range(n_planes):
+            e = e + F.when(dot_literal(vd, planes[t][p]) > 0,
+                           F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        return e
 
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.posexplode(_buckets(vec_col)).alias("table", "bucket"),
+        F.col(id_col).alias("id"), vd.alias("v"),
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)])).alias("table", "bucket"),
     )
     l = b.select("table", "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     r = b.select("table", "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))

@@ -93,6 +93,40 @@ def main():
     results["kernels_map_side_partial"] = "partial_collect_list" in p
     results["kernels_single_shuffle"] = len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
+    # 6. operator construction must trigger ZERO Spark jobs — no
+    # first()/collect()/count() hidden at plan-build time (round 1 had
+    # sigs.first() in minhash_lsh_pairs and df.first() in embedding LSH).
+    # Built on in-memory frames so parquet footer-read jobs don't count;
+    # dedup_clusters is excluded by design (iterative: its build IS the
+    # computation).
+    from netml_spark.operators.dedup import (
+        embedding_neardup_pairs, minhash_lsh_pairs, minhash_signatures,
+        ngram_jaccard_pairs, simhash_pairs, simhash_signatures,
+    )
+    from netml_spark.operators.similarity import ivf_topk
+
+    def jobs_submitted():
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    docs_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "a b c e"]})
+    )
+    emb_df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[0.1] * 64, [0.2] * 64]})
+    )
+    before = jobs_submitted()
+    sigs = minhash_signatures(docs_df)
+    minhash_lsh_pairs(sigs, n_hashes=64, bands=16)
+    simhash_pairs(simhash_signatures(docs_df))
+    ngram_jaccard_pairs(docs_df)
+    embedding_neardup_pairs(emb_df, dim=64, n_planes=4, n_tables=2)
+    ivf_topk(emb_df, emb_df.withColumnRenamed("vec_id", "query_id"),
+             n_cells=4, dim=64)
+    after = jobs_submitted()
+    results["no_plan_time_jobs"] = after == before
+    if after != before:
+        print(f"  ({after - before} jobs ran during operator construction)")
+
     ok = True
     for name, passed in results.items():
         print(f"{'PASS' if passed else 'FAIL'}  {name}")
