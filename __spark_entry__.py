@@ -82,7 +82,8 @@ def q_netml_sessionize(spark, sf_dir):
     from netml_spark.operators import sessionize_timeout
 
     df = sessionize_timeout(
-        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",)
+        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",),
+        defer_seg_filter=True,
     )
     return (
         df.groupBy("user_id", "session_id")
@@ -90,6 +91,7 @@ def q_netml_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
         )
+        .filter(F.col("n_events") >= 2)  # deferred min-segment filter
         .orderBy("user_id", "session_id")
         .select("user_id", F.col("session_id").cast("long").alias("session_id"),
                 "n_events", "sum_value")
@@ -130,9 +132,11 @@ def q_session_stats(spark, sf_dir):
     from netml_spark.operators.stats import stats_features
 
     sess = sessionize_timeout(
-        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",)
+        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",),
+        defer_seg_filter=True,
     )
     s = stats_features(sess, ("user_id", "session_id"), "ts", "value")
+    s = s.filter(F.col("num_pkts") >= 2)  # deferred min-segment filter
     return s.select(
         "user_id",
         F.col("session_id").cast("long").alias("session_id"),

@@ -100,9 +100,10 @@ def bench_queries(spark):
         from netml_spark.operators import sessionize_timeout
         from netml_spark.operators.stats import stats_features
 
-        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",))
+        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",),
+                                  defer_seg_filter=True)
         st = stats_features(sess, ("doc_id", "session_id"), "ts", "token")
-        return st.agg(F.sum("num_bytes").alias("chk"))
+        return st.filter(F.col("num_pkts") >= 2).agg(F.sum("num_bytes").alias("chk"))
 
     def q_seq_kernels():
         """Native array kernels: IAT + IAT_SIZE + pad/truncate."""

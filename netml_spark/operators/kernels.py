@@ -115,28 +115,105 @@ def iat_pandas_udf():
     return _iat
 
 
+def _samp_fast_batch(times: pd.Series, tokens: pd.Series, feat: str, rate: float):
+    """Batch-vectorized SAMP for the common no-cap path.
+
+    When no 500-cap triggers, the reference loop (parser.py:472-559) emits
+    exactly the grid buckets 0..K with k_i = floor((t_i - t_0)/rate) and a
+    trailing bucket dropped iff its sum <= 0 — computable for ALL rows of
+    an Arrow batch with ONE global np.bincount over offset bucket ids.
+
+    A row is eligible only when the closed-form result is PROVABLY equal
+    to the loop's (which accumulates ``current`` by repeated float adds):
+      - no (t_i - t_0)/rate with q >= 0.5 lies within ``margin`` of an
+        integer (grid-boundary packets are path-dependent in the loop,
+        and accumulated-rounding drift could flip their comparisons)
+      - total buckets K+1 <= 500 (whole-feature truncation never fires)
+      - no consecutive-bucket gap > 501 (per-gap zero-fill cap never fires)
+    Ineligible rows (returned as index array) fall back to the verbatim
+    loop. margin bounds ~1000 accumulated ulps, far above any drift.
+
+    Returns (results: list[np.ndarray|None], fallback_rows: np.ndarray).
+    """
+    n_rows = len(times)
+    lens = times.map(len).to_numpy(dtype=np.int64)
+    results: list = [None] * n_rows
+    nz = np.flatnonzero(lens)
+    if len(nz) == 0:
+        return results, np.array([], dtype=np.int64)
+    flat_t = np.concatenate([np.asarray(t, dtype=np.float64) for t in times if len(t)])
+    row_lens = lens[nz]
+    starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+    t0_rep = np.repeat(flat_t[starts], row_lens)
+    q = (flat_t - t0_rep) / rate
+    k = np.floor(q).astype(np.int64)
+    np.maximum(k, 0, out=k)  # guard q=-0.0 edge
+
+    margin = 4096.0 * np.spacing(np.abs(flat_t).max() + rate) / rate
+    near_boundary = (q >= 0.5) & (np.abs(q - np.round(q)) <= margin)
+    K = k[starts + row_lens - 1]  # times sorted -> k nondecreasing per row
+    row_id = np.repeat(np.arange(len(nz)), row_lens)
+    bad = np.zeros(len(nz), dtype=bool)
+    np.logical_or.at(bad, row_id, near_boundary)
+    bad |= K + 1 > 500
+    if len(k) > 1:
+        gap = np.diff(k)
+        inner = np.ones(len(k) - 1, dtype=bool)
+        inner[starts[1:] - 1] = False  # mask row-crossing diffs
+        # per-gap zero-fill cap fires iff bucket gap - 1 > 500
+        np.logical_or.at(bad, row_id[1:], (gap > 501) & inner)
+
+    good = ~bad
+    if good.any():
+        out_lens = K + 1
+        g_rows = np.flatnonzero(good)
+        good_flat = good[row_id]
+        offsets = np.zeros(len(nz), dtype=np.int64)
+        offsets[g_rows] = np.concatenate(([0], np.cumsum(out_lens[g_rows])[:-1]))
+        total = int(out_lens[g_rows].sum())
+        gidx = (k + offsets[row_id])[good_flat]
+        if feat == "SAMP_NUM":
+            B = np.bincount(gidx, minlength=total).astype(np.float64)
+        else:
+            flat_s = np.concatenate(
+                [np.asarray(s, dtype=np.float64) for s in tokens if len(s)]
+            )
+            B = np.bincount(gidx, weights=flat_s[good_flat], minlength=total)
+        for j in g_rows:
+            b = B[offsets[j]: offsets[j] + out_lens[j]]
+            # trailing bucket emitted iff its sum > 0 (parser.py:549-550);
+            # bincount accumulates weights in input order, so the bucket
+            # sums are float-identical to the loop's sequential samp_sub
+            results[nz[j]] = b if b[-1] > 0 else b[:-1].copy()
+    for i in np.flatnonzero(lens == 0):
+        results[i] = np.array([], dtype=np.float64)
+    return results, nz[bad]
+
+
 def samp_udf(sampling_feature: str, sampling_rate: float):
     """SAMP_NUM / SAMP_SIZE with the reference's dual 500-caps
-    (parser.py:472-559) — the per-gap zero-fill cap and the whole-feature
-    500 truncation are order-dependent, so the loop is transcribed verbatim
-    (delegated to the oracle kernel, which cites the lines). Arrow-batched;
-    the loop runs per sequence, numpy inside."""
+    (parser.py:472-559). Fast path: ONE batch-level np.bincount for every
+    row where the caps provably cannot fire and no packet sits on a grid
+    boundary (see _samp_fast_batch); other rows run the verbatim oracle
+    loop (the per-gap zero-fill cap and whole-feature truncation are
+    order-dependent). Parity vs the loop is pinned exact (atol=0) by
+    tests/test_kernels.py and the hypothesis properties."""
     rate = float(sampling_rate)
     feat = sampling_feature
 
     @pandas_udf("array<double>")
     def _samp(times: pd.Series, tokens: pd.Series) -> pd.Series:
-        out = []
-        for t, s in zip(times, tokens):
-            out.append(
-                netml_ref.get_SAMP(
-                    np.asarray(t, dtype=np.float64),
-                    np.asarray(s, dtype=np.float64),
-                    sampling_feature=feat,
-                    sampling_rate=rate,
-                )
+        results, fallback = _samp_fast_batch(times, tokens, feat, rate)
+        t_arr = times.reset_index(drop=True)
+        s_arr = tokens.reset_index(drop=True)
+        for i in fallback:
+            results[i] = netml_ref.get_SAMP(
+                np.asarray(t_arr[i], dtype=np.float64),
+                np.asarray(s_arr[i], dtype=np.float64),
+                sampling_feature=feat,
+                sampling_rate=rate,
             )
-        return pd.Series(out)
+        return pd.Series(results)
 
     return _samp
 

@@ -76,6 +76,32 @@ def test_samp_kernels(spark, token_events_df, token_events_pdf):
         )
 
 
+def test_samp_fast_path_exact_vs_loop(spark):
+    """One Arrow batch mixing fast-path rows (clean off-grid times) with
+    forced fallbacks (grid-boundary times, >500-bucket spans, huge-gap
+    caps) — every row must equal the verbatim loop exactly."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(1, 50))
+        t = np.sort(rng.uniform(0, 300, n)); t[0] = 0.0
+        rows.append((i, t, rng.uniform(1, 1500, n)))
+    rows.append((100, np.array([0.0, 1.0, 2.0, 5.0]), np.ones(4)))          # exact grid
+    rows.append((101, np.array([0.0, 1000.0, 1001.0, 2000.0]), np.ones(4))) # caps
+    rows.append((102, np.arange(0.0, 900.0, 1.5), np.ones(600)))            # >500 buckets
+    pdf = pd.DataFrame({"doc_id": [r[0] for r in rows],
+                        "times": [r[1] for r in rows],
+                        "tokens": [r[2] for r in rows]})
+    df = spark.createDataFrame(pdf)
+    for feat in ("SAMP_NUM", "SAMP_SIZE"):
+        got = df.select("doc_id", kernels.samp_udf(feat, 1.0)("times", "tokens").alias("f")).collect()
+        byid = {r[0]: (r[1], r[2]) for r in rows}
+        for r in got:
+            t, s = byid[r.doc_id]
+            exp = netml_ref.get_SAMP(t, s, feat, 1.0)
+            np.testing.assert_allclose(np.asarray(r.f), exp, rtol=0, atol=0)
+
+
 def test_samp_500_caps():
     # quirk pin (parser.py:535-542): wide gap zero-fill capped at 500 per
     # gap; whole feature truncated at 500
