@@ -141,7 +141,7 @@ def bench_queries(spark):
     def q_pricing():
         return entry.q_pricing_summary(spark, SF_DIR).agg(F.sum("sum_qty").alias("chk"))
 
-    return {
+    qs = {
         "north_asof_features": q_north_asof_features,
         "sessionize_stats": q_sessionize_stats,
         "seq_kernels": q_seq_kernels,
@@ -150,6 +150,13 @@ def bench_queries(spark):
         "session_stats_sf": q_session_stats_sf,
         "pricing_summary": q_pricing,
     }
+    # optional filter, e.g. for focused scaling trials:
+    # SPARK_GRAFT_BENCH_QUERIES=north_asof_features,sessionize_stats
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        qs = {k: v for k, v in qs.items() if k in keep}
+    return qs
 
 
 # queries whose wall time feeds the sequences/sec north number
@@ -180,7 +187,7 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
-    north_secs = sum(times[q] for q in NORTH_QUERIES)
+    north_secs = sum(times[q] for q in NORTH_QUERIES if q in times)
     result = {
         "metric": "feature-engineering suite wall time (steady-state)",
         "value": total,
