@@ -964,6 +964,65 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def _sql_netml_subflows() -> str:
+    """DuckDB twin of sessionize_timeout + subflows_interval (interval
+    300 s). The grid re-split is a per-row sequential recurrence
+    (parser.py:209-299: anchor += floor((t - anchor)/interval)*interval on
+    each split, gap tested against the grid-anchored synthetic time) —
+    expressed as a RECURSIVE CTE stepping one row per iteration with the
+    same double arithmetic as the numpy loop."""
+    return """
+WITH RECURSIVE pre AS (
+  SELECT user_id, ts, event_id, COUNT(*) OVER (PARTITION BY user_id) AS n_entity
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 600
+                 THEN 1 ELSE 0 END AS brk
+  FROM pre WHERE n_entity >= 2
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), t AS (
+  SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid FROM s
+), kept AS (
+  SELECT * FROM t WHERE max_sid = 0 OR session_id < max_sid
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_seg FROM kept
+), rows_ AS (
+  SELECT user_id, session_id, epoch(ts) AS t,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+  FROM sized WHERE n_seg >= 2
+), r AS (
+  SELECT user_id, session_id, rn, t AS start, t AS rec, 0 AS cur
+  FROM rows_ WHERE rn = 1
+  UNION ALL
+  SELECT x.user_id, x.session_id, x.rn,
+         CASE WHEN x.t - r.rec > 300.0
+              THEN r.start + floor((x.t - r.start) / 300.0) * 300.0
+              ELSE r.start END,
+         CASE WHEN x.t - r.rec > 300.0
+              THEN r.start + floor((x.t - r.start) / 300.0) * 300.0
+              ELSE x.t END,
+         CASE WHEN x.t - r.rec > 300.0 THEN r.cur + 1 ELSE r.cur END
+  FROM r JOIN rows_ x
+    ON x.user_id = r.user_id AND x.session_id = r.session_id AND x.rn = r.rn + 1
+), m AS (
+  SELECT user_id, session_id, MAX(cur) AS maxc FROM r GROUP BY 1, 2
+), kept2 AS (
+  SELECT r.user_id, r.session_id, r.cur
+  FROM r JOIN m ON r.user_id = m.user_id AND r.session_id = m.session_id
+  WHERE m.maxc = 0 OR r.cur < m.maxc
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(cur AS INT) AS subflow_id, COUNT(*) AS n_events
+FROM kept2
+GROUP BY user_id, session_id, cur
+HAVING COUNT(*) >= 2
+ORDER BY user_id, session_id, subflow_id
+"""
+
+
 def _sql_dedup_clusters() -> str:
     """DuckDB twin of dedup_clusters over the jaccard>=0.2 pair graph:
     cluster_id = min reachable id (transitive closure by recursive CTE;
@@ -1000,8 +1059,9 @@ SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 
 
 def q_netml_subflows(spark, sf_dir):
-    """Grid-aligned interval re-split (parser.py:209-299) — sequential grid
-    quirks are not SQL-expressible; rows-only check."""
+    """Grid-aligned interval re-split (parser.py:209-299). The sequential
+    anchor recurrence is oracled by a recursive CTE stepping one row per
+    iteration (see _sql_netml_subflows)."""
     from netml_spark.operators import sessionize_timeout, subflows_interval
 
     sess = sessionize_timeout(
@@ -1291,8 +1351,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "ivf_ann": _sql_ivf_ann(),
         "dedup_clusters": _sql_dedup_clusters(),
-        # netml_subflows: the grid re-split anchor is a sequential
-        # recurrence over previous splits (parser.py:209-299) — not
-        # SQL-expressible; driver rows-only check, numpy-oracle pytest
-        # parity in tests/test_sessionize.py
+        "netml_subflows": _sql_netml_subflows(),
     }

@@ -1,0 +1,93 @@
+"""spark-submit job: the reference's `netml classify` flow (cli.py:187-239)
+re-expressed on the engine — extract features from an event table, load a
+trained model (jobs/learn.py --output-model), predict per flow, and print
+the per-flow report with the reference's verbosity filter.
+
+    spark-submit --py-files dist/netml_spark.zip jobs/classify.py \
+        --input <events parquet> --model /tmp/model.pkl \
+        [--report-all | --verbosity 2] [--output <parquet dir>]
+
+Report semantics transcribed from cli.py:202-239:
+- NORMAL flows are skipped unless --report-all or --verbosity > 1
+  (cli.py:204-210)
+- each reported line: [date] [t0 – t1] <flow key> CLASS (cli.py:225-239);
+  the flow key here is the entity/session/subflow tuple, the timestamps
+  are the first/last packet times of the flow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--model", required=True,
+                    help="pickle from jobs/learn.py --output-model")
+    ap.add_argument("--report-all", action="store_true",
+                    help="report NORMAL flows too (cli.py:206)")
+    ap.add_argument("--verbosity", type=int, default=1)
+    ap.add_argument("--output", default=None,
+                    help="optionally write (flow key, prediction) parquet")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from netml_spark import ndm
+    from netml_spark.pipeline import FeaturePlan
+    from netml_spark.session import get_spark
+
+    model = ndm.Model.load(args.model)
+    ex = model.history.get("report", {}).get("extract", {})
+    feat_type = ex.get("feat_type", "IAT")
+    entity_cols = tuple(ex.get("entity_cols", "doc_id").split(","))
+    order_cols = tuple(c for c in ex.get("order_cols", "seq").split(",") if c)
+
+    spark = get_spark("netml-classify")
+    ev = spark.read.parquet(args.input)
+    plan = FeaturePlan(feat_type=feat_type,
+                       q_interval=float(ex.get("q_interval", 0.9)))
+    carry = ("source",) if "source" in ev.columns else ()
+    feats = plan.extract(ev, entity_cols, ex.get("ts_col", "ts"),
+                         ex.get("token_col", "token"), order_cols,
+                         carry_cols=carry)
+
+    key_cols = [*entity_cols, "session_id", "subflow_id"]
+    pdf = feats.select(
+        *key_cols,
+        F.element_at("times", 1).alias("ts_first"),
+        F.element_at("times", -1).alias("ts_last"),
+        "features",
+    ).toPandas()
+    X = np.stack(pdf["features"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    pred = model.predict(X)
+
+    for row, cls in zip(pdf.itertuples(index=False), pred):
+        if cls == 0:  # CLASS_NORMAL skipped at low verbosity (cli.py:204-210)
+            if not args.report_all and args.verbosity <= 1:
+                continue
+            tag = "NORMAL"
+        else:
+            tag = "ANOMALY"
+        d0 = datetime.datetime.fromtimestamp(float(row.ts_first), datetime.timezone.utc)
+        d1 = datetime.datetime.fromtimestamp(float(row.ts_last), datetime.timezone.utc)
+        key = ":".join(str(getattr(row, c)) for c in key_cols)
+        print(f"[{d0.date()}] [{d0.time()} – {d1.time()}] {key} {tag}")
+    print(f"# flows={len(pdf)} anomalies={int(pred.sum())}")
+
+    if args.output:
+        pdf = pdf.drop(columns=["features"])
+        pdf["prediction"] = pred
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,8 +29,10 @@ def main(argv=None):
     ap.add_argument("--labels", default=None)
     ap.add_argument("--feat-type", default="IAT")
     ap.add_argument("--q-interval", type=float, default=0.9)
-    ap.add_argument("--model", choices=["pca", "gmm"], default="pca")
+    ap.add_argument("--model", choices=["pca", "gmm", "iforest", "kde"],
+                    default="pca")
     ap.add_argument("--n-components", type=int, default=2)
+    ap.add_argument("--contamination", type=float, default=0.1)
     ap.add_argument("--test-frac", type=float, default=0.33)
     ap.add_argument("--entity-cols", default="doc_id")
     ap.add_argument("--ts-col", default="ts")
@@ -75,21 +77,25 @@ def main(argv=None):
     # deterministic hash split (reference: train_test_split 0.33)
     h = (np.arange(len(X)) * 2654435761 % 2**32) / 2**32
     test = h < args.test_frac
-    det = (ndm.PCADetector(args.n_components) if args.model == "pca"
-           else ndm.GMMDetector(args.n_components))
-    det.fit(X[~test])
-    scores = det.score(X[test])
+    if args.model in ("pca", "gmm"):
+        det = ndm.DETECTORS[args.model](args.n_components)
+    else:
+        det = ndm.DETECTORS[args.model]()
+    model = ndm.Model(det, contamination=args.contamination)
+    model.train(X[~test])
     report = {"model": args.model, "n_train": int((~test).sum()),
               "n_test": int(test.sum()), "feat_type": args.feat_type}
     if y is not None and len(set(y[test])) == 2:
-        report["auc"] = round(ndm.auc_score(y[test], scores), 4)
+        report["auc"] = round(model.test(X[test], y[test]), 4)
+    report["extract"] = {
+        "feat_type": args.feat_type, "q_interval": args.q_interval,
+        "entity_cols": args.entity_cols, "ts_col": args.ts_col,
+        "token_col": args.token_col, "order_cols": args.order_cols,
+    }
+    model.history["report"] = report
     print(json.dumps(report))
     if args.output_model:
-        state = {"model": args.model, "mean": getattr(det, "mean_", None),
-                 "report": report}
-        with open(args.output_model, "w") as fh:
-            json.dump({k: (v.tolist() if hasattr(v, "tolist") else v)
-                       for k, v in state.items()}, fh)
+        model.save(args.output_model)
         print(f"wrote {args.output_model}")
 
 

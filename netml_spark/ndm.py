@@ -12,6 +12,17 @@ train/test/AUC workflow shape as the reference's MODEL wrapper:
   score = residual norm).
 - ``GMMDetector``: spherical Gaussian mixture via plain EM,
   log-likelihood score (reference ndm/gmm.py:145 logsumexp scoring).
+- ``IForestDetector``: isolation forest (reference ndm/iforest.py:11-94
+  wraps pyod's IForest with inverted scores so higher = more anomalous);
+  here the standard Liu/Ting/Zhou algorithm in numpy — random subsample
+  trees, score = 2^(-E[path length]/c(n)).
+- ``KDEDetector``: gaussian kernel density (reference ndm/kde.py:15-128
+  wraps sklearn KernelDensity with inverted scores); here brute-force
+  pairwise gaussian KDE, score = negative log-density.
+- ``Model``: train/test/AUC wrapper (reference ndm/model.py:47-104) plus
+  the pyod-style contamination threshold -> ``predict`` used by
+  `netml classify` (cli.py:202), and pickle save/load (reference persists
+  (model, history) via dump_data, cli.py:167-184).
 - ``auc_score``: rank-based ROC-AUC (Mann-Whitney), matching
   sklearn.roc_auc_score semantics used at ndm/model.py:101-102.
 
@@ -122,3 +133,192 @@ class GMMDetector:
         ll = self._log_prob(np.asarray(X, dtype=np.float64), self.mu_, self.var_, self.pi_)
         m = ll.max(axis=1)
         return -(m + np.log(np.exp(ll - m[:, None]).sum(axis=1)))
+
+
+class _ITree:
+    """One isolation tree over a subsample — flat-array node storage."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "size", "_n")
+
+    def __init__(self, X: np.ndarray, max_depth: int, rng: np.random.Generator):
+        cap = 4 * len(X)  # loose bound on node count
+        self.feature = np.full(cap, -1, dtype=np.int32)
+        self.threshold = np.zeros(cap, dtype=np.float64)
+        self.left = np.full(cap, -1, dtype=np.int32)
+        self.right = np.full(cap, -1, dtype=np.int32)
+        self.size = np.zeros(cap, dtype=np.int64)
+        self._n = 0
+        self._build(X, 0, max_depth, rng)
+
+    def _new_node(self) -> int:
+        i = self._n
+        self._n += 1
+        return i
+
+    def _build(self, X: np.ndarray, depth: int, max_depth: int,
+               rng: np.random.Generator) -> int:
+        node = self._new_node()
+        self.size[node] = len(X)
+        if depth >= max_depth or len(X) <= 1:
+            return node
+        spans = X.max(axis=0) - X.min(axis=0)
+        usable = np.flatnonzero(spans > 0)
+        if len(usable) == 0:  # all points identical
+            return node
+        f = int(rng.choice(usable))
+        lo, hi = X[:, f].min(), X[:, f].max()
+        t = rng.uniform(lo, hi)
+        mask = X[:, f] < t
+        self.feature[node] = f
+        self.threshold[node] = t
+        self.left[node] = self._build(X[mask], depth + 1, max_depth, rng)
+        self.right[node] = self._build(X[~mask], depth + 1, max_depth, rng)
+        return node
+
+    def path_lengths(self, X: np.ndarray) -> np.ndarray:
+        """Vectorized level-synchronous traversal: all rows descend one
+        level per iteration (depth <= max_depth ~ log2(256) = 8 steps)."""
+        n = len(X)
+        node = np.zeros(n, dtype=np.int32)
+        depth = np.zeros(n, dtype=np.float64)
+        active = self.feature[node] >= 0
+        while active.any():
+            f = self.feature[node[active]]
+            goleft = X[active, f] < self.threshold[node[active]]
+            nxt = np.where(goleft, self.left[node[active]], self.right[node[active]])
+            node[active] = nxt
+            depth[active] += 1.0
+            active = self.feature[node] >= 0
+        # external-node adjustment c(size) for unsplit subsamples
+        return depth + _avg_path(self.size[node])
+
+
+def _avg_path(n) -> np.ndarray:
+    """c(n): average BST unsuccessful-search path length (Liu et al.)."""
+    n = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n)
+    m = n > 2
+    out[m] = 2.0 * (np.log(n[m] - 1.0) + np.euler_gamma) - 2.0 * (n[m] - 1.0) / n[m]
+    out[n == 2] = 1.0
+    return out
+
+
+class IForestDetector:
+    """Isolation forest (ndm/iforest.py analogue: pyod IForest defaults
+    n_estimators=100, max_samples='auto'=256, scores inverted so higher =
+    more anomalous — here the score 2^(-E[h]/c(psi)) is anomalous-high by
+    construction, so the ranking matches the reference's inverted one)."""
+
+    def __init__(self, n_estimators: int = 100, max_samples: int = 256,
+                 seed: int = 42):
+        self.n_estimators = n_estimators
+        self.max_samples = max_samples
+        self.seed = seed
+
+    def fit(self, X: np.ndarray):
+        X = np.asarray(X, dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        psi = min(self.max_samples, len(X))
+        max_depth = int(np.ceil(np.log2(max(psi, 2))))
+        self.psi_ = psi
+        self.trees_ = []
+        for _ in range(self.n_estimators):
+            idx = rng.choice(len(X), size=psi, replace=False)
+            self.trees_.append(_ITree(X[idx], max_depth, rng))
+        return self
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Higher = more anomalous."""
+        X = np.asarray(X, dtype=np.float64)
+        h = np.mean([t.path_lengths(X) for t in self.trees_], axis=0)
+        c = _avg_path(np.array([self.psi_]))[0] or 1.0
+        return np.power(2.0, -h / c)
+
+
+class KDEDetector:
+    """Gaussian KDE (ndm/kde.py analogue: sklearn KernelDensity
+    score_samples with inverted order). Anomaly score = negative
+    log-density under the gaussian kernel sum — brute-force pairwise
+    distances (the train matrix is the post-engine feature table, small
+    by design)."""
+
+    def __init__(self, bandwidth: float = 1.0):
+        self.bandwidth = float(bandwidth)
+
+    def fit(self, X: np.ndarray):
+        self.X_ = np.asarray(X, dtype=np.float64)
+        return self
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Higher = more anomalous (= -log p̂(x), matching invert_order of
+        sklearn's log-density up to a monotone transform)."""
+        X = np.asarray(X, dtype=np.float64)
+        n, d = self.X_.shape
+        h = self.bandwidth
+        # -||x - xi||^2 / (2 h^2) via the expansion trick, then logsumexp
+        x2 = (X * X).sum(axis=1)[:, None]
+        t2 = (self.X_ * self.X_).sum(axis=1)[None, :]
+        sq = np.maximum(x2 + t2 - 2.0 * (X @ self.X_.T), 0.0)
+        ll = -sq / (2.0 * h * h)
+        m = ll.max(axis=1)
+        logp = (
+            m + np.log(np.exp(ll - m[:, None]).sum(axis=1))
+            - np.log(n) - 0.5 * d * np.log(2.0 * np.pi * h * h)
+        )
+        return -logp
+
+
+DETECTORS = {
+    "pca": PCADetector,
+    "gmm": GMMDetector,
+    "iforest": IForestDetector,
+    "kde": KDEDetector,
+}
+
+
+class Model:
+    """Train/test/AUC wrapper (reference ndm/model.py:47-104) with the
+    pyod-style contamination threshold for hard predictions
+    (`netml classify` consumes model.predict, cli.py:202)."""
+
+    def __init__(self, detector, contamination: float = 0.1):
+        self.detector = detector
+        self.contamination = float(contamination)
+        self.history: dict = {}
+
+    def train(self, X_train: np.ndarray, y_train=None):
+        import time as _t
+
+        t0 = _t.time()
+        self.detector.fit(X_train)
+        train_scores = self.detector.score(X_train)
+        # pyod BaseDetector._process_decision_scores: threshold at the
+        # (1 - contamination) quantile of train scores
+        self.threshold_ = float(
+            np.quantile(train_scores, 1.0 - self.contamination)
+        )
+        self.history["train_time"] = _t.time() - t0
+        return self
+
+    def test(self, X_test: np.ndarray, y_test: np.ndarray) -> float:
+        scores = self.detector.score(X_test)
+        self.score = auc_score(y_test, scores)
+        self.history["score"] = self.score
+        return self.score
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        """1 = anomaly (score above the contamination threshold), 0 = normal."""
+        return (self.detector.score(X) > self.threshold_).astype(int)
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        with open(path, "wb") as fh:
+            pickle.dump({"model": self, "history": self.history}, fh)
+
+    @staticmethod
+    def load(path: str) -> "Model":
+        import pickle
+
+        with open(path, "rb") as fh:
+            return pickle.load(fh)["model"]

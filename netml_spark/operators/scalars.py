@@ -67,11 +67,48 @@ def with_time_normed(df: DataFrame, ts_col: str = "time",
     ).drop("t0")
 
 
+def with_dns_fields(
+    df: DataFrame,
+    qname_col: str = "dns_qname",
+    rrname_col: str = "dns_rrname",
+    rdata_col: str = "dns_rdata",
+) -> DataFrame:
+    """DNS field extraction twin (parser.py:1018-1041): the reference
+    pulls DNSQR.qname / DNSRR.rrname / DNSRR.rdata from the scapy layer
+    and utf-8-decodes the bytes; here the raw name/rdata bytes arrive as
+    binary (or string) columns — scapy's wire parsing is out of engine
+    scope — and the derivations are native expressions:
+
+    - is_dns     = any DNS layer present (qname or rrname non-null;
+                   parser.py:1020,1029 both set is_dns=True)
+    - dns_query  = utf-8 decode, DNSRR.rrname overriding DNSQR.qname when
+                   both exist (the reference's second dict.update wins)
+    - dns_resp   = utf-8 decode of rdata (parser.py:1036-1040)
+
+    Missing input columns are treated as all-null (packets without that
+    layer)."""
+    def dec(col: str):
+        if col not in df.columns:
+            return F.lit(None).cast("string")
+        c = F.col(col)
+        if dict(df.dtypes)[col] == "binary":
+            c = c.cast("string")  # utf-8 decode
+        return c
+
+    q, rr, rd = dec(qname_col), dec(rrname_col), dec(rdata_col)
+    return (
+        df.withColumn("is_dns", q.isNotNull() | rr.isNotNull())
+        .withColumn("dns_query", F.coalesce(rr, q))
+        .withColumn("dns_resp", rd)
+    )
+
+
 def packets_table(df: DataFrame) -> DataFrame:
-    """pcap2pandas twin: derive ip/mac int columns, datetime, time_normed,
-    then stable-sort column names (parser.py:1046-1076). Input columns per
-    the reference's _pcap_columns (F4 fixture): time, ip_src, ip_dst,
-    mac_src, mac_dst, ... (missing columns are skipped)."""
+    """pcap2pandas twin: derive ip/mac int columns, datetime, DNS fields,
+    time_normed, then stable-sort column names (parser.py:1046-1076).
+    Input columns per the reference's _pcap_columns (F4 fixture): time,
+    ip_src, ip_dst, mac_src, mac_dst, dns_qname/dns_rrname/dns_rdata
+    (raw bytes), ... (missing columns are skipped)."""
     out = df
     for ipc in ("ip_src", "ip_dst"):
         if ipc in out.columns:
@@ -79,6 +116,8 @@ def packets_table(df: DataFrame) -> DataFrame:
     for macc in ("mac_src", "mac_dst"):
         if macc in out.columns:
             out = out.withColumn(f"{macc}_int", mac_to_int(macc))
+    if any(c in out.columns for c in ("dns_qname", "dns_rrname", "dns_rdata")):
+        out = with_dns_fields(out)
     if "time" in out.columns:
         if "datetime" not in out.columns:
             out = out.withColumn("datetime", epoch_to_datetime("time"))

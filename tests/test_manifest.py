@@ -71,6 +71,20 @@ def test_run_stage_input_fingerprint_recompute(spark, tmp_path):
     assert calls == [] and all(v[0] == "skipped" for v in r.values())
 
 
+def test_iceberg_detection_degrades_to_parquet(spark, tmp_path):
+    """No Iceberg jar in the sandbox -> detection is False and the
+    manifest writes parquet dirs (the writeTo hook engages only when a
+    runtime jar + catalog are present)."""
+    from netml_spark.manifest import iceberg_available
+
+    assert iceberg_available(spark) is False
+    m = CheckpointManifest(spark, str(tmp_path / "ice"))
+    assert m.iceberg is False
+    m.run_stage("s", ["a"], lambda p: spark.createDataFrame(
+        pd.DataFrame({"src": [p], "v": [1]})), "src")
+    assert os.path.exists(str(tmp_path / "ice" / "s" / "src=a"))
+
+
 def test_run_stage_parallel(spark, tmp_path):
     """max_parallel > 1 computes every partition exactly once."""
     root = str(tmp_path / "ckpt_par")

@@ -35,6 +35,41 @@ def test_gmm_detector_separates():
     assert ndm.auc_score(y, det.score(X)) > 0.9
 
 
+def test_iforest_detector_separates():
+    X, y = _toy(seed=2)
+    det = ndm.IForestDetector(n_estimators=50).fit(X[y == 0])
+    assert ndm.auc_score(y, det.score(X)) > 0.9
+
+
+def test_iforest_deterministic():
+    X, y = _toy(seed=3)
+    s1 = ndm.IForestDetector(n_estimators=20, seed=7).fit(X).score(X)
+    s2 = ndm.IForestDetector(n_estimators=20, seed=7).fit(X).score(X)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_kde_detector_separates():
+    X, y = _toy(seed=4)
+    det = ndm.KDEDetector(bandwidth=1.0).fit(X[y == 0])
+    assert ndm.auc_score(y, det.score(X)) > 0.9
+
+
+def test_model_wrapper_threshold_and_persistence(tmp_path):
+    X, y = _toy(seed=5)
+    m = ndm.Model(ndm.IForestDetector(n_estimators=50), contamination=0.1)
+    m.train(X[y == 0])
+    auc = m.test(X, y)
+    assert auc > 0.9 and m.history["score"] == auc
+    pred = m.predict(X)
+    # threshold at the 90th train-score percentile: anomalies mostly above
+    assert pred[y == 1].mean() > 0.8
+    assert pred[y == 0].mean() < 0.2
+    p = str(tmp_path / "model.pkl")
+    m.save(p)
+    m2 = ndm.Model.load(p)
+    np.testing.assert_array_equal(m2.predict(X), pred)
+
+
 def test_e2e_features_to_model(spark, token_events_df):
     from netml_spark.pipeline import FeaturePlan
 

@@ -37,6 +37,26 @@ def test_packets_table_scalars(spark):
     np.testing.assert_allclose(sorted(out["time_normed"]), [0.0, 0.74, 2.25, 9.75])
 
 
+def test_dns_fields(spark):
+    """parser.py:1018-1041 twin: is_dns / dns_query (rrname wins) /
+    dns_resp utf-8 decodes from raw bytes."""
+    from netml_spark.operators.scalars import with_dns_fields
+
+    pdf = pd.DataFrame({
+        "time": [1.0, 2.0, 3.0, 4.0],
+        "dns_qname": [b"example.com.", b"a.io.", None, None],
+        "dns_rrname": [None, b"a.io.", b"rr.only.", None],
+        "dns_rdata": [None, b"1.2.3.4", b"5.6.7.8", None],
+    })
+    out = with_dns_fields(spark.createDataFrame(pdf)).toPandas()
+    assert out["is_dns"].tolist() == [True, True, True, False]
+    assert out["dns_query"].tolist() == ["example.com.", "a.io.", "rr.only.", None]
+    assert out["dns_resp"].tolist() == [None, "1.2.3.4", "5.6.7.8", None]
+    # packets_table picks the DNS columns up automatically
+    out2 = packets_table(spark.createDataFrame(pdf)).toPandas()
+    assert "is_dns" in out2.columns and list(out2.columns) == sorted(out2.columns)
+
+
 def test_ip_to_int_rejects_out_of_range_octets(spark):
     """ipaddress.ip_address rejects octets > 255 — so must the engine
     (reference parser.py:1062: malformed -> null)."""

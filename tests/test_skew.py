@@ -20,23 +20,37 @@ def test_salted_agg_matches_plain(spark):
         }
     )
     df = spark.createDataFrame(pdf)
-    got = salted_agg(df, ("k",), "v", n_salts=16).toPandas().set_index("k").sort_index()
+    # default sum_type: DECIMAL(18,4) accumulator (v has 4 decimals) must
+    # be BIT-IDENTICAL to a one-pass decimal SUM — that is the property
+    # the two-stage split must not break
+    got = salted_agg(df, ("k",), "v", n_salts=16,
+                     sum_type="decimal(18,4)").toPandas().set_index("k").sort_index()
     exp = (
         df.groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("count_v"),
-            F.sum(F.col("v").cast("double")).alias("sum_v"),
-            F.mean(F.col("v").cast("double")).alias("mean_v"),
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("sum_v"),
+            (F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+             / F.count(F.lit(1))).alias("mean_v"),
             F.min(F.col("v").cast("double")).alias("min_v"),
             F.max(F.col("v").cast("double")).alias("max_v"),
         )
         .toPandas().set_index("k").sort_index()
     )
     assert (got["count_v"] == exp["count_v"]).all()
-    np.testing.assert_allclose(got["sum_v"], exp["sum_v"], rtol=1e-9)
-    np.testing.assert_allclose(got["mean_v"], exp["mean_v"], rtol=1e-9)
+    np.testing.assert_array_equal(got["sum_v"], exp["sum_v"])  # exact
+    np.testing.assert_array_equal(got["mean_v"], exp["mean_v"])
     np.testing.assert_array_equal(got["min_v"], exp["min_v"])
     np.testing.assert_array_equal(got["max_v"], exp["max_v"])
+    # sum_type="double" keeps full float precision (reordered partials ->
+    # tolerance, not equality)
+    got_d = salted_agg(df, ("k",), "v", n_salts=16,
+                       sum_type="double").toPandas().set_index("k").sort_index()
+    exp_d = (
+        df.groupBy("k").agg(F.sum(F.col("v").cast("double")).alias("sum_v"))
+        .toPandas().set_index("k").sort_index()
+    )
+    np.testing.assert_allclose(got_d["sum_v"], exp_d["sum_v"], rtol=1e-9)
 
 
 def test_heavy_hitters_detects(spark):

@@ -53,3 +53,52 @@ def test_stream_matches_batch(spark, tmp_path, event_pdf):
     assert len(merged) == len(s), "stream emitted a session batch doesn't have"
     for c in ["num_pkts", "num_bytes", "duration"]:
         np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"])
+
+
+def test_stateful_eviction_max_age_and_idle(spark, tmp_path):
+    """applyInPandasWithState twin of the capture buffer
+    (capture_pkts.py:100-126): a flow older than max_age closes with
+    'max_age'; an idle flow is evicted by the event-time watermark with
+    'idle'."""
+    from netml_spark.streaming.eviction import stateful_flow_eviction
+
+    t0 = 1_700_000_000.0
+    # batch 1: flowA = 3 quick packets (goes idle); flowB spans > max_age
+    f1 = pd.DataFrame({
+        "doc_id": ["A", "A", "A", "B", "B", "B"],
+        "ts": [t0, t0 + 1, t0 + 2, t0, t0 + 2000, t0 + 4000],
+        "token": [1, 2, 3, 4, 5, 6],
+    })
+    # batch 2: a late entity far in the future — pushes the watermark past
+    # A's idle deadline so the timeout fires
+    f2 = pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [7]})
+
+    src = str(tmp_path / "evict_src")
+    spark.createDataFrame(f1).coalesce(1).write.mode("overwrite").parquet(src)
+    # second file written separately so maxFilesPerTrigger=1 -> 2+ batches
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(f1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_flow_eviction(
+        stream, ("doc_id",), "ts", max_age=3600.0, idle_timeout=600.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from evict_stream").toPandas()
+    byid = got.set_index("doc_id")
+    assert byid.loc["B", "reason"] == "max_age"
+    assert int(byid.loc["B", "n_pkts"]) == 3
+    assert byid.loc["A", "reason"] == "idle"
+    assert int(byid.loc["A", "n_pkts"]) == 3
+    assert byid.loc["A", "last_ts"] == t0 + 2
+    assert "C" not in byid.index  # still open in state
