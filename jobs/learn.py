@@ -8,8 +8,9 @@ tables, label them, train an anomaly detector, report AUC.
         --feat-type IAT --model pca --output-model /tmp/model.json
 
 Differences from the reference, by design (SURVEY.md §2.12): models are
-numpy-only (no sklearn/torch here) — PCA reconstruction error or spherical
-GMM; train/test split is a deterministic hash split (no sklearn
+numpy-only (no sklearn/torch here) — PCA reconstruction error, spherical
+GMM, isolation forest, gaussian KDE, RBF one-class SVM, or an MLP
+autoencoder; train/test split is a deterministic hash split (no sklearn
 train_test_split), test fraction 0.33 as in cli.py:511-519.
 """
 
@@ -29,7 +30,8 @@ def main(argv=None):
     ap.add_argument("--labels", default=None)
     ap.add_argument("--feat-type", default="IAT")
     ap.add_argument("--q-interval", type=float, default=0.9)
-    ap.add_argument("--model", choices=["pca", "gmm", "iforest", "kde"],
+    ap.add_argument("--model",
+                    choices=["pca", "gmm", "iforest", "kde", "ocsvm", "ae"],
                     default="pca")
     ap.add_argument("--n-components", type=int, default=2)
     ap.add_argument("--contamination", type=float, default=0.1)

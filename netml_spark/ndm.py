@@ -19,6 +19,12 @@ train/test/AUC workflow shape as the reference's MODEL wrapper:
 - ``KDEDetector``: gaussian kernel density (reference ndm/kde.py:15-128
   wraps sklearn KernelDensity with inverted scores); here brute-force
   pairwise gaussian KDE, score = negative log-density.
+- ``OCSVMDetector``: RBF one-class SVM (reference ndm/ocsvm.py:11-81
+  wraps sklearn OneClassSVM); here the dual solved by projected gradient
+  with an exact box-simplex projection.
+- ``AEDetector``: autoencoder reconstruction error (reference
+  ndm/ae.py:22-228 is a torch MLP); here a numpy MLP with manual
+  backprop + Adam.
 - ``Model``: train/test/AUC wrapper (reference ndm/model.py:47-104) plus
   the pyod-style contamination threshold -> ``predict`` used by
   `netml classify` (cli.py:202), and pickle save/load (reference persists
@@ -268,11 +274,147 @@ class KDEDetector:
         return -logp
 
 
+class OCSVMDetector:
+    """One-class SVM with RBF kernel (ndm/ocsvm.py analogue: sklearn
+    OneClassSVM(kernel='rbf', gamma='scale', nu=0.5) with inverted
+    scores). The dual
+        min 1/2 a'Ka   s.t. 0 <= a_i <= 1/(nu*n), sum a = 1
+    is solved by projected gradient descent with an exact simplex-box
+    projection (bisection on the shift); score = rho - sum_i a_i k(x_i, x)
+    so higher = more anomalous, matching the reference's invert_order."""
+
+    def __init__(self, nu: float = 0.5, gamma: str | float = "scale",
+                 n_iter: int = 300, lr: float | None = None):
+        self.nu = float(nu)
+        self.gamma = gamma
+        self.n_iter = n_iter
+        self.lr = lr
+
+    @staticmethod
+    def _proj_box_simplex(v: np.ndarray, C: float) -> np.ndarray:
+        """Project v onto {0 <= a <= C, sum a = 1} (bisection on tau of
+        sum clip(v - tau, 0, C) = 1)."""
+        lo, hi = v.min() - C - 1.0, v.max() + 1.0
+        for _ in range(60):
+            tau = 0.5 * (lo + hi)
+            s = np.clip(v - tau, 0.0, C).sum()
+            if s > 1.0:
+                lo = tau
+            else:
+                hi = tau
+        return np.clip(v - 0.5 * (lo + hi), 0.0, C)
+
+    def _kernel(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        a2 = (A * A).sum(axis=1)[:, None]
+        b2 = (B * B).sum(axis=1)[None, :]
+        sq = np.maximum(a2 + b2 - 2.0 * (A @ B.T), 0.0)
+        return np.exp(-self.gamma_ * sq)
+
+    def fit(self, X: np.ndarray):
+        X = np.asarray(X, dtype=np.float64)
+        n, d = X.shape
+        self.X_ = X
+        if self.gamma == "scale":  # sklearn: 1 / (d * X.var())
+            self.gamma_ = 1.0 / (d * max(X.var(), 1e-12))
+        elif self.gamma == "auto":
+            self.gamma_ = 1.0 / d
+        else:
+            self.gamma_ = float(self.gamma)
+        K = self._kernel(X, X)
+        C = 1.0 / (self.nu * n)
+        a = np.full(n, 1.0 / n)
+        # Lipschitz constant of the gradient is ||K||_2 <= n (rbf diag 1)
+        eta = self.lr or 1.0 / max(np.linalg.norm(K, 2), 1e-9)
+        for _ in range(self.n_iter):
+            a = self._proj_box_simplex(a - eta * (K @ a), C)
+        self.alpha_ = a
+        dec = K @ a
+        margin = (a > 1e-8) & (a < C - 1e-8)
+        self.rho_ = float(np.median(dec[margin])) if margin.any() else float(np.median(dec))
+        return self
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Higher = more anomalous (rho - decision)."""
+        dec = self._kernel(np.asarray(X, dtype=np.float64), self.X_) @ self.alpha_
+        return self.rho_ - dec
+
+
+class AEDetector:
+    """Autoencoder reconstruction-error detector (ndm/ae.py analogue:
+    pyod-style AE, torch in the reference — absent here, so a numpy MLP
+    in->hid->lat->hid->in with leaky-relu, Adam, MSE; inputs standardized;
+    score = per-row reconstruction MSE, higher = more anomalous)."""
+
+    def __init__(self, hid_dim: int = 16, lat_dim: int = 4, epochs: int = 200,
+                 batch_size: int = 32, lr: float = 1e-3, seed: int = 42):
+        self.hid_dim, self.lat_dim = hid_dim, lat_dim
+        self.epochs, self.batch_size, self.lr, self.seed = epochs, batch_size, lr, seed
+
+    @staticmethod
+    def _lrelu(z):
+        return np.where(z > 0, z, 0.01 * z)
+
+    @staticmethod
+    def _dlrelu(z):
+        return np.where(z > 0, 1.0, 0.01)
+
+    def fit(self, X: np.ndarray):
+        X = np.asarray(X, dtype=np.float64)
+        self.mu_, self.sd_ = X.mean(axis=0), np.maximum(X.std(axis=0), 1e-9)
+        Z = (X - self.mu_) / self.sd_
+        n, d = Z.shape
+        rng = np.random.default_rng(self.seed)
+        dims = [d, self.hid_dim, self.lat_dim, self.hid_dim, d]
+        W = [rng.normal(0, np.sqrt(2.0 / dims[i]), (dims[i], dims[i + 1]))
+             for i in range(4)]
+        b = [np.zeros(dims[i + 1]) for i in range(4)]
+        mW = [np.zeros_like(w) for w in W]; vW = [np.zeros_like(w) for w in W]
+        mb = [np.zeros_like(x) for x in b]; vb = [np.zeros_like(x) for x in b]
+        b1, b2, eps, t = 0.9, 0.999, 1e-8, 0
+        for _ in range(self.epochs):
+            order = rng.permutation(n)
+            for s in range(0, n, self.batch_size):
+                xb = Z[order[s:s + self.batch_size]]
+                # forward: leaky-relu on hidden layers, linear output
+                acts, pre = [xb], []
+                h = xb
+                for li in range(4):
+                    z = h @ W[li] + b[li]
+                    pre.append(z)
+                    h = z if li == 3 else self._lrelu(z)
+                    acts.append(h)
+                g = 2.0 * (acts[-1] - xb) / len(xb)  # dMSE/dout
+                t += 1
+                for li in range(3, -1, -1):
+                    gz = g if li == 3 else g * self._dlrelu(pre[li])
+                    gW, gb = acts[li].T @ gz, gz.sum(axis=0)
+                    g = gz @ W[li].T
+                    mW[li] = b1 * mW[li] + (1 - b1) * gW
+                    vW[li] = b2 * vW[li] + (1 - b2) * gW * gW
+                    mb[li] = b1 * mb[li] + (1 - b1) * gb
+                    vb[li] = b2 * vb[li] + (1 - b2) * gb * gb
+                    W[li] -= self.lr * (mW[li] / (1 - b1 ** t)) / (np.sqrt(vW[li] / (1 - b2 ** t)) + eps)
+                    b[li] -= self.lr * (mb[li] / (1 - b1 ** t)) / (np.sqrt(vb[li] / (1 - b2 ** t)) + eps)
+        self.W_, self.b_ = W, b
+        return self
+
+    def score(self, X: np.ndarray) -> np.ndarray:
+        """Higher = more anomalous (standardized reconstruction MSE)."""
+        Z = (np.asarray(X, dtype=np.float64) - self.mu_) / self.sd_
+        h = Z
+        for li in range(4):
+            z = h @ self.W_[li] + self.b_[li]
+            h = z if li == 3 else self._lrelu(z)
+        return ((h - Z) ** 2).mean(axis=1)
+
+
 DETECTORS = {
     "pca": PCADetector,
     "gmm": GMMDetector,
     "iforest": IForestDetector,
     "kde": KDEDetector,
+    "ocsvm": OCSVMDetector,
+    "ae": AEDetector,
 }
 
 

@@ -7,7 +7,7 @@ import pandas as pd
 from netml_spark import ndm
 
 
-def _toy(n=300, d=6, seed=0):
+def _toy(seed=0, n=300, d=6):
     rng = np.random.default_rng(seed)
     X_norm = rng.normal(0, 1, (n, d))
     X_anom = rng.normal(5, 3, (n // 10, d))
@@ -52,6 +52,31 @@ def test_kde_detector_separates():
     X, y = _toy(seed=4)
     det = ndm.KDEDetector(bandwidth=1.0).fit(X[y == 0])
     assert ndm.auc_score(y, det.score(X)) > 0.9
+
+
+def test_ocsvm_detector_separates():
+    X, y = _toy(seed=6, n=200)
+    det = ndm.OCSVMDetector(nu=0.1).fit(X[y == 0])
+    assert ndm.auc_score(y, det.score(X)) > 0.9
+
+
+def test_ocsvm_dual_constraints():
+    X, _ = _toy(seed=7, n=150)
+    det = ndm.OCSVMDetector(nu=0.5).fit(X)
+    a = det.alpha_
+    n = len(X)
+    assert abs(a.sum() - 1.0) < 1e-6
+    assert (a >= -1e-12).all() and (a <= 1.0 / (0.5 * n) + 1e-12).all()
+    # nu property: support-vector fraction >= nu (approximately)
+    assert (a > 1e-8).mean() >= 0.4
+
+
+def test_ae_detector_separates_and_deterministic():
+    X, y = _toy(seed=8, n=250)
+    det = ndm.AEDetector(epochs=120, seed=3).fit(X[y == 0])
+    assert ndm.auc_score(y, det.score(X)) > 0.9
+    det2 = ndm.AEDetector(epochs=120, seed=3).fit(X[y == 0])
+    np.testing.assert_array_equal(det.score(X), det2.score(X))
 
 
 def test_model_wrapper_threshold_and_persistence(tmp_path):
