@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -21,7 +22,7 @@ import pandas as pd  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 from netml_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
