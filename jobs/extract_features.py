@@ -2,10 +2,15 @@
 
 Usage (cluster):
     python tools/package.py   # builds dist/netml_spark.zip
-    spark-submit --py-files dist/netml_spark.zip jobs/extract_features.py \
+    spark-submit --driver-memory 48g \
+        --py-files dist/netml_spark.zip jobs/extract_features.py \
         --input s3://bucket/token_events --output s3://bucket/features \
         --feat-type IAT --q-interval 0.9 --entity-cols doc_id \
         --checkpoint s3://bucket/ckpt --partition-col source
+
+NOTE: under spark-submit the JVM starts before session.py's conf applies,
+so spark.driver.memory MUST be passed on the command line (local mode
+shares one heap across all task threads; the 1g default OOMs).
 
 Locally the same file runs under plain ``python`` (it builds its own
 session). With --checkpoint, extraction runs per partition value through
@@ -80,7 +85,11 @@ def main(argv=None):
         )
         done = sum(1 for v in results.values() if v[0] == "ok")
         skipped = sum(1 for v in results.values() if v[0] == "skipped")
-        print(f"partitions done={done} skipped={skipped} -> {args.checkpoint}")
+        errors = {p: v[1] for p, v in results.items() if v[0] == "error"}
+        print(f"partitions done={done} skipped={skipped} errors={len(errors)} "
+              f"-> {args.checkpoint}")
+        for p, msg in errors.items():
+            print(f"  error partition={p}: {msg.splitlines()[0][:160]}")
     else:
         out = extract(events)
         out.write.mode("overwrite").parquet(args.output)

@@ -187,13 +187,25 @@ class CheckpointManifest:
             if str(pv) in done and done[str(pv)] == fp:
                 return pv, ("skipped", None)
             t0 = time.time()
-            df = build(pv).cache()
+            try:
+                df = build(pv).cache()
+            except Exception as e:
+                self.record(stage, pv, 0, 0, time.time() - t0,
+                            status="error", input_fp=fp)
+                return pv, ("error", str(e))
             try:
                 m = partition_metrics(df).collect()[0]
                 self._write_partition(df, out_root, partition_col, pv)
                 self.record(stage, pv, m.row_count, m.checksum,
                             time.time() - t0, input_fp=fp)
                 return pv, ("ok", m.row_count)
+            except Exception as e:
+                # one bad partition must not kill a 20-source backfill:
+                # record it (status='error' rows never satisfy resume, so
+                # the next run retries it) and keep going
+                self.record(stage, pv, 0, 0, time.time() - t0,
+                            status="error", input_fp=fp)
+                return pv, ("error", str(e))
             finally:
                 df.unpersist()
 

@@ -71,6 +71,27 @@ def test_run_stage_input_fingerprint_recompute(spark, tmp_path):
     assert calls == [] and all(v[0] == "skipped" for v in r.values())
 
 
+def test_run_stage_error_isolation_and_retry(spark, tmp_path):
+    """A failing partition is recorded as 'error' (not resumable-ok) and
+    does NOT kill the backfill; the next run retries only it."""
+    m = CheckpointManifest(spark, str(tmp_path / "ckpt_err"))
+    fail = {"b": True}
+
+    def build(p):
+        if p == "b" and fail["b"]:
+            raise ValueError("boom")
+        return spark.createDataFrame(pd.DataFrame({"src": [p], "v": [1]}))
+
+    r1 = m.run_stage("s", ["a", "b", "c"], build, "src")
+    assert r1["a"] == ("ok", 1) and r1["c"] == ("ok", 1)
+    assert r1["b"][0] == "error" and "boom" in r1["b"][1]
+
+    fail["b"] = False
+    r2 = m.run_stage("s", ["a", "b", "c"], build, "src")
+    assert r2["a"] == ("skipped", None) and r2["c"] == ("skipped", None)
+    assert r2["b"] == ("ok", 1)
+
+
 def test_iceberg_detection_degrades_to_parquet(spark, tmp_path):
     """No Iceberg jar in the sandbox -> detection is False and the
     manifest writes parquet dirs (the writeTo hook engages only when a
