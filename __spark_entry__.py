@@ -1086,7 +1086,12 @@ def q_salted_agg(spark, sf_dir):
     — result identical to a plain groupBy."""
     from netml_spark.operators.skew import salted_agg
 
-    out = salted_agg(_events(spark, sf_dir), ("user_id",), "value", n_salts=16)
+    # opt into the exact DECIMAL(18,2) accumulator: the events.value column
+    # is 2-decimal by construction, and decimal partials are associative, so
+    # the two-stage sum is bit-identical to DuckDB's one-pass decimal SUM
+    # (the engine default is now full-precision double — ADVICE r2 fix)
+    out = salted_agg(_events(spark, sf_dir), ("user_id",), "value", n_salts=16,
+                     sum_type="decimal(18,2)")
     return out.select(
         "user_id", "count_value",
         F.round("sum_value", 4).alias("sum_value"),

@@ -60,32 +60,58 @@ def main(argv=None):
                          carry_cols=carry)
 
     key_cols = [*entity_cols, "session_id", "subflow_id"]
-    pdf = feats.select(
+
+    # Distributed scoring: broadcast the pickled numpy model into a
+    # pandas_udf so predict runs per Arrow batch on the executors — the
+    # post-aggregation flow table never collects to the driver (round 2
+    # ran a full toPandas() + one driver-side numpy predict, faithful to
+    # the reference's in-memory matrix at cli.py:202 but a driver OOM on
+    # a 10^12-sequence corpus).
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf("int")
+    def score(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.stack(batch.map(lambda v: np.asarray(v, dtype=np.float64)))
+        return pd.Series(bc.value.predict(X).astype(np.int32))
+
+    scored = feats.select(
         *key_cols,
         F.element_at("times", 1).alias("ts_first"),
         F.element_at("times", -1).alias("ts_last"),
-        "features",
-    ).toPandas()
-    X = np.stack(pdf["features"].map(lambda v: np.asarray(v, dtype=np.float64)))
-    pred = model.predict(X)
+        score(F.col("features")).alias("prediction"),
+    )
+    if args.output:
+        # one distributed pass: persist so the report tail reuses the
+        # scored table instead of re-extracting features
+        scored = scored.persist()
+        scored.write.mode("overwrite").parquet(args.output)
 
-    for row, cls in zip(pdf.itertuples(index=False), pred):
-        if cls == 0:  # CLASS_NORMAL skipped at low verbosity (cli.py:204-210)
-            if not args.report_all and args.verbosity <= 1:
-                continue
-            tag = "NORMAL"
-        else:
-            tag = "ANOMALY"
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("prediction"), F.lit(0)).alias("anom"),
+    ).collect()[0]
+
+    # Report tail on the driver: at default verbosity only anomalies are
+    # printed (cli.py:204-210), so the collect is bounded by the anomaly
+    # count; --report-all / -v>1 explicitly asks for every line.
+    report = scored
+    if not args.report_all and args.verbosity <= 1:
+        report = report.filter(F.col("prediction") != 0)
+    pdf = report.orderBy("ts_first", *key_cols).toPandas()
+
+    for row in pdf.itertuples(index=False):
+        tag = "NORMAL" if row.prediction == 0 else "ANOMALY"
         d0 = datetime.datetime.fromtimestamp(float(row.ts_first), datetime.timezone.utc)
         d1 = datetime.datetime.fromtimestamp(float(row.ts_last), datetime.timezone.utc)
         key = ":".join(str(getattr(row, c)) for c in key_cols)
         print(f"[{d0.date()}] [{d0.time()} – {d1.time()}] {key} {tag}")
-    print(f"# flows={len(pdf)} anomalies={int(pred.sum())}")
+    print(f"# flows={int(totals.n)} anomalies={int(totals.anom)}")
 
     if args.output:
-        pdf = pdf.drop(columns=["features"])
-        pdf["prediction"] = pred
-        spark.createDataFrame(pdf).write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")
 
 

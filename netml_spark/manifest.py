@@ -14,9 +14,15 @@ detected at call time, same API):
 - after each partition lands, a manifest row
   (stage, partition, input_fp, row_count, checksum, status, wall_s) is
   appended to ``<root>/_manifest`` (a tiny parquet table — the only
-  driver-side state);
+  driver-side state). Within ``run_stage`` rows are BUFFERED and flushed
+  in batches of ``flush_every`` (one parquet file per flush), so a
+  10 000-partition backfill leaves ~300 manifest files, not 10 000. A
+  crash loses at most the unflushed tail of records; those partitions
+  simply recompute on resume — idempotent, never wrong;
 - ``run_stage`` skips partitions whose manifest row is already ``ok`` AND
-  whose recorded input fingerprint matches the current one — if the input
+  whose recorded input fingerprint matches the current one (a run WITHOUT
+  ``input_fp`` treats any recorded fingerprint as matching — toggling
+  fingerprinting off must not redo a completed backfill); if the input
   for a partition changed since the checkpoint, it is recomputed, never
   silently skipped;
 - the checksum is an order-insensitive xor-fold of per-row xxhash64 over
@@ -89,15 +95,31 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class CheckpointManifest:
-    def __init__(self, spark: SparkSession, root: str, iceberg: bool | None = None):
+    def __init__(self, spark: SparkSession, root: str, iceberg: bool | None = None,
+                 iceberg_table: str | None = None):
+        """``iceberg_table`` is the EXPLICIT catalog identifier (e.g.
+        ``local.db.features``) partition writes target when the Iceberg
+        backend is active. It is the caller's contract with their catalog —
+        round 2 derived one from the filesystem path
+        (``/tmp/ckpt/stage`` -> ``tmp.ckpt.stage``), which no real catalog
+        namespace would accept; that guess is gone."""
         self.spark = spark
         self.root = root
         self.path = os.path.join(root, "_manifest")
         self._lock = Lock()
+        self._buffer: list | None = None  # non-None => run_stage batching
+        self._flush_every = 32
         # Iceberg upgrade hook: when the runtime jar + a catalog are
         # present, partition outputs land as Iceberg table partitions
         # (replaceWhere semantics); otherwise parquet dirs.
         self.iceberg = iceberg_available(spark) if iceberg is None else iceberg
+        self.iceberg_table = iceberg_table
+        if self.iceberg and not self.iceberg_table:
+            raise ValueError(
+                "Iceberg backend active but no iceberg_table identifier "
+                "given; pass iceberg_table='catalog.db.table' (or "
+                "iceberg=False for the parquet-dir backend)"
+            )
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -124,30 +146,43 @@ class CheckpointManifest:
         )
         return {r.partition: r.input_fp for r in rows}
 
+    def _write_rows(self, rows: list) -> None:
+        import pandas as pd
+
+        self.spark.createDataFrame(pd.DataFrame(rows)).coalesce(1) \
+            .write.mode("append").parquet(self.path)
+
     def record(self, stage: str, partition: str, row_count: int,
                checksum: int, wall_s: float, status: str = "ok",
                input_fp: str = "") -> None:
-        import pandas as pd
-
-        row = pd.DataFrame(
-            [{
-                "stage": stage, "partition": str(partition),
-                "input_fp": str(input_fp),
-                "row_count": int(row_count), "checksum": int(checksum),
-                "wall_s": float(wall_s), "status": status,
-                "finished_at": time.time(),
-            }]
-        )
+        row = {
+            "stage": stage, "partition": str(partition),
+            "input_fp": str(input_fp),
+            "row_count": int(row_count), "checksum": int(checksum),
+            "wall_s": float(wall_s), "status": status,
+            "finished_at": time.time(),
+        }
         with self._lock:  # manifest appends serialize; partition jobs don't
-            self.spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(self.path)
+            if self._buffer is not None:
+                self._buffer.append(row)
+                if len(self._buffer) >= self._flush_every:
+                    self._write_rows(self._buffer)
+                    self._buffer = []
+            else:
+                self._write_rows([row])
+
+    def _flush(self) -> None:
+        with self._lock:
+            if self._buffer:
+                self._write_rows(self._buffer)
+            self._buffer = None
 
     def _write_partition(self, df: DataFrame, out_root: str,
                          partition_col: str, pv) -> None:
         if self.iceberg:
-            table = out_root.strip("/").replace("/", ".")
             (
                 df.withColumn(partition_col, F.lit(str(pv)))
-                .writeTo(table)
+                .writeTo(self.iceberg_table)
                 .overwritePartitions()
             )
         else:
@@ -164,29 +199,45 @@ class CheckpointManifest:
         output_subdir: str | None = None,
         input_fp: Callable[[str], str] | None = None,
         max_parallel: int = 4,
+        flush_every: int = 32,
     ) -> dict:
         """Run ``build(partition_value)`` for every partition not yet 'ok'
         (with matching input fingerprint) in the manifest; write each to
         <root>/<stage>/<partition_col>=<v>/ and record metrics. Partitions
-        run ``max_parallel`` at a time as independent Spark jobs.
+        run ``max_parallel`` at a time as independent Spark jobs; manifest
+        rows are flushed in batches of ``flush_every`` (bounded manifest
+        file count — a crash loses at most one unflushed batch, whose
+        partitions recompute idempotently on resume).
 
         ``input_fp(pv)`` should return a cheap stamp of the partition's
         input (file mtime+size, snapshot id, upstream checksum). When
         given, a checkpointed partition whose current fingerprint differs
-        from the recorded one is REcomputed. Without it, resume skips any
-        'ok' partition (round-1 behavior)."""
+        from the recorded one is REcomputed. Without it, any 'ok'
+        partition is skipped regardless of its recorded fingerprint —
+        turning fingerprinting off must not redo a completed backfill.
+        A fingerprint callable that itself raises (missing input file for
+        one partition) marks THAT partition 'error' and the run
+        continues — same isolation as build/write failures."""
         out_root = os.path.join(self.root, output_subdir or stage)
         done = self.completed(stage)
         results = {}
+        with self._lock:
+            self._buffer = []
+            self._flush_every = max(1, int(flush_every))
 
         def fp_of(pv) -> str:
             return str(input_fp(pv)) if input_fp is not None else ""
 
         def run_one(pv):
-            fp = fp_of(pv)
-            if str(pv) in done and done[str(pv)] == fp:
-                return pv, ("skipped", None)
             t0 = time.time()
+            try:
+                fp = fp_of(pv)
+            except Exception as e:
+                self.record(stage, pv, 0, 0, time.time() - t0,
+                            status="error", input_fp="")
+                return pv, ("error", str(e))
+            if str(pv) in done and (fp == "" or done[str(pv)] == fp):
+                return pv, ("skipped", None)
             try:
                 df = build(pv).cache()
             except Exception as e:
@@ -209,7 +260,10 @@ class CheckpointManifest:
             finally:
                 df.unpersist()
 
-        with ThreadPoolExecutor(max_workers=max(1, int(max_parallel))) as ex:
-            for pv, res in ex.map(run_one, partitions):
-                results[pv] = res
+        try:
+            with ThreadPoolExecutor(max_workers=max(1, int(max_parallel))) as ex:
+                for pv, res in ex.map(run_one, partitions):
+                    results[pv] = res
+        finally:
+            self._flush()
         return results

@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    cache_sigs: bool = True,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` equal bands, bucket
     by (band index, band hash), emit candidate pairs whose estimated
@@ -252,12 +253,26 @@ def minhash_lsh_pairs(
     ``n_hashes`` is a parameter (the caller built the signatures and knows
     it) — round 1 inferred it with sigs.first(), a plan-time driver action
     that recomputed a signature partition on every call and crashed on
-    empty input."""
+    empty input.
+
+    Shuffle shape (the round-3 fix): candidate generation shuffles ONLY
+    (band, bh, id) — round 2 carried the full n_hashes-long signature
+    through the band explode, ~bands*8*n_hashes bytes/doc of shuffle that
+    dominates at corpus scale. Signatures are joined back ONCE per unique
+    deduped candidate pair (two narrow id-keyed shuffles over the tiny
+    pair set instead of one wide one over every band row). ``cache_sigs``
+    persists the signature frame so the minhash kernel runs once, not
+    once per join side — at real scale signatures are a materialized
+    table and the caller passes False."""
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
+    if cache_sigs:
+        sigs = sigs.persist()
+    # band hashes are computed map-side from sig, then sig is DROPPED
+    # before the exchange: the band shuffle carries 3 longs + id per row
     banded = sigs.select(
-        "id", "sig",
+        "id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -267,14 +282,19 @@ def minhash_lsh_pairs(
                 for i in range(bands)
             ])
         ).alias("b"),
-    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.select("band", "bh", F.col("id").alias("id_a"))
+    b = banded.select("band", "bh", F.col("id").alias("id_b"))
     cands = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = cands.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b"
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -144,9 +144,14 @@ def subflows_interval(
       - trailing segment discarded iff any split occurred (parser.py:278-283)
       - segments with < max(2, thres) rows dropped (parser.py:289-292).
 
-    Runs as ``applyInPandas`` per entity group: the loop is sequential in
-    the *splits* (rare) but array-driven otherwise; groups are Arrow batches,
-    no per-row Python at the Spark boundary.
+    Runs as ``applyInPandas`` per entity group. The kernel iterates the
+    SPLITS, not the rows (round 2 stepped every row in Python): away from
+    a split the recurrence degenerates to ``rec_time = previous row``, so
+    the next split is either the row right after a split (tested against
+    the synthetic grid anchor) or the first consecutive-gap > interval —
+    precomputed once with ``np.diff`` and jumped to with
+    ``np.searchsorted``. O(splits log n) Python steps + O(n) numpy;
+    splits are rare by construction.
     """
     interval = float(interval)
     thres = max(2, int(flow_pkts_thres))
@@ -167,20 +172,30 @@ def subflows_interval(
         else:
             t = raw.to_numpy(dtype=np.float64)
         n = len(t)
-        sub_id = np.zeros(n, dtype=np.int32)
-        rec_time = start = t[0]
-        cur = 0
-        split_flow = False
-        for j in range(1, n):
-            if t[j] - rec_time > interval:
-                start += int((t[j] - start) // interval) * interval
-                cur += 1
-                rec_time = start
-                split_flow = True
-            else:
-                rec_time = t[j]
-            sub_id[j] = cur
-        pdf[subflow_col] = sub_id
+        # natural split candidates: rows whose gap to the PREVIOUS row
+        # exceeds the interval (the recurrence away from synthetic anchors)
+        cand = np.flatnonzero(np.diff(t) > interval) + 1
+        splits = []
+        start = t[0]
+        j = int(cand[0]) if len(cand) else n
+        while j < n:
+            # split at row j: anchor advances on the grid (parser.py:258,270)
+            start += int((t[j] - start) // interval) * interval
+            splits.append(j)
+            # row j+1 compares against the synthetic anchor, not t[j]
+            if j + 1 < n and t[j + 1] - start > interval:
+                j = j + 1
+                continue
+            # row j+1 absorbed -> rec_time returns to "previous row" from
+            # j+2 on; jump to the first natural candidate >= j+2
+            k = int(np.searchsorted(cand, j + 2, side="left"))
+            j = int(cand[k]) if k < len(cand) else n
+        split_flow = bool(splits)
+        cur = len(splits)
+        ind = np.zeros(n, dtype=np.int32)
+        if splits:
+            ind[np.asarray(splits, dtype=np.int64)] = 1
+        pdf[subflow_col] = np.cumsum(ind, dtype=np.int32)
         if split_flow:
             pdf = pdf[pdf[subflow_col] < cur]  # trailing-segment discard
         # min-size filter per subflow

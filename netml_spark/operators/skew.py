@@ -50,18 +50,20 @@ def salted_agg(
     value_col: str,
     aggs: Sequence[str] = ("count", "sum", "mean", "min", "max"),
     n_salts: int = 32,
-    sum_type: str = "decimal(18,2)",
+    sum_type: str = "double",
 ) -> DataFrame:
     """Two-stage salted aggregation: splits each key across ``n_salts``
     partial groups, then merges. Output columns: ``<agg>_<value_col>``.
 
     ``sum_type`` controls the accumulator for sum/mean. The default
-    DECIMAL(18,2) is exact and associative, so the two-stage result is
-    bit-identical to a single-pass SUM no matter how the partials are
-    grouped — raw ``double`` partial sums re-order float additions and
-    drift past round() guards (the round-1 salted_agg hash mismatch).
-    Pass ``sum_type="double"`` to keep full float precision when exact
-    cross-engine reproducibility is not needed.
+    ``double`` keeps full input precision (two-stage partials may re-order
+    float additions — allclose, not bit-equal, vs a single-pass SUM).
+    Callers that need the result BIT-identical no matter how partials are
+    grouped — the cross-engine oracle path — opt into a DECIMAL
+    accumulator sized to their data (e.g. ``"decimal(18,2)"`` for cents):
+    decimal addition is exact and associative, but QUANTIZES each input
+    to the chosen scale first, so it must match the data's real
+    precision (the round-2 default silently clipped finer values).
 
     (For non-skewed keys Spark's hash aggregate already does map-side
     partials; salting only helps when a single key's FINAL group is too

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,11 +43,19 @@ def stateful_flow_eviction(
     """Streaming stateful eviction. ``events`` must be a streaming
     DataFrame; per-entity state is (n_pkts, start, last) in epoch seconds.
 
-    A flow closes with reason 'max_age' as soon as a batch pushes its age
-    past ``max_age`` (capture_pkts.py:123: pre_pkt_time - pkt_start_time
-    > 1 h), or with reason 'idle' when the event-time watermark passes
-    last + ``idle_timeout`` (the capture loop's 600 s TIMEOUT restart,
-    capture_pkts.py:113)."""
+    A flow closes with reason 'max_age' at the first EVENT whose arrival
+    pushes its age past ``max_age`` (capture_pkts.py:123: pre_pkt_time -
+    pkt_start_time > 1 h — the crossing packet is included in the closed
+    flow; later packets open a NEW flow), and with reason 'idle' either
+    when an inter-packet gap inside a batch exceeds ``idle_timeout`` (the
+    capture loop's per-packet TIMEOUT restart, capture_pkts.py:113 — a
+    replay/backfill batch can hold many such restarts) or when the
+    event-time watermark passes last + ``idle_timeout`` with no further
+    packets. Round 2 merged each batch via min/max, so intra-batch gaps
+    never split and a max_age flow absorbed the whole batch — both
+    approximations are gone: the batch is sorted by event time and scanned
+    per gap/age crossing, emitting ONE ROW PER CLOSED FLOW per key per
+    batch (ADVICE r2 fix)."""
     entity_cols = list(entity_cols)
     ts = F.col(ts_col)
     if dict(events.dtypes)[ts_col] in ("double", "bigint", "float", "int"):
@@ -76,7 +85,8 @@ def stateful_flow_eviction(
     )
     cols = [f.name for f in out_schema.fields]
     max_age_s = float(max_age)
-    idle_ms = int(float(idle_timeout) * 1000)
+    idle_s = float(idle_timeout)
+    idle_ms = int(idle_s * 1000)
 
     def track(key, pdfs, state):
         rows = []
@@ -84,27 +94,57 @@ def stateful_flow_eviction(
             n, start, last = state.get
             rows.append((*key, int(n), float(start), float(last), "idle"))
             state.remove()
+            yield pd.DataFrame(rows, columns=cols)
+            return
+        ts = [p["_evt_sec"].to_numpy(dtype=np.float64) for p in pdfs if len(p)]
+        if not ts:
+            yield pd.DataFrame(rows, columns=cols)
+            return
+        t = np.sort(np.concatenate(ts))
+        had_state = state.exists
+        if had_state:
+            n, start, last = state.get
+            n, start, last = int(n), float(start), float(last)
         else:
-            n, start, last = state.get if state.exists else (0, None, None)
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
-                t = pdf["_evt_sec"]
-                n += len(pdf)
-                tmin, tmax = float(t.min()), float(t.max())
-                start = tmin if start is None else min(start, tmin)
-                last = tmax if last is None else max(last, tmax)
-            if n > 0 and last - start > max_age_s:
-                rows.append((*key, int(n), float(start), float(last), "max_age"))
-                state.remove()
-            elif n > 0:
-                state.update((int(n), float(start), float(last)))
-                # idle eviction rides the watermark clock; the timeout
-                # timestamp must sit above the current watermark
-                wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(
-                    max(int(last * 1000) + idle_ms, wm + 1)
-                )
+            n, start, last = 0, 0.0, 0.0
+        # the carried flow restarts if the gap to the batch head exceeds
+        # the idle timeout (the same per-packet test the scan below does)
+        if n and t[0] - last > idle_s:
+            rows.append((*key, n, start, last, "idle"))
+            n = 0
+        # segment the sorted batch at intra-batch idle gaps — each gap is a
+        # per-packet TIMEOUT restart in the reference, not a state merge
+        bounds = np.flatnonzero(np.diff(t) > idle_s) + 1
+        for si, seg in enumerate(np.split(t, bounds)):
+            if si > 0 and n:
+                rows.append((*key, n, start, last, "idle"))
+                n = 0
+            i = 0
+            while i < len(seg):
+                if n == 0:
+                    start = float(seg[i])
+                # first event whose age crosses max_age; it is ABSORBED
+                # into the closing flow, later events open a new one.
+                # searchsorted jumps straight to the crossing: O(closes
+                # + gaps) Python steps per batch, numpy for the rest.
+                j = int(np.searchsorted(seg, start + max_age_s, side="right"))
+                if j >= len(seg):
+                    n += len(seg) - i
+                    last = float(seg[-1])
+                    break
+                n += j - i + 1
+                last = float(seg[j])
+                rows.append((*key, n, start, last, "max_age"))
+                n = 0
+                i = j + 1
+        if n:
+            state.update((int(n), float(start), float(last)))
+            # idle eviction rides the watermark clock; the timeout
+            # timestamp must sit above the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(last * 1000) + idle_ms, wm + 1))
+        elif had_state:
+            state.remove()
         yield pd.DataFrame(rows, columns=cols)
 
     return (

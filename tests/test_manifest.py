@@ -92,6 +92,89 @@ def test_run_stage_error_isolation_and_retry(spark, tmp_path):
     assert r2["b"] == ("ok", 1)
 
 
+def test_run_stage_fingerprint_error_isolation(spark, tmp_path):
+    """input_fp itself raising for ONE partition (e.g. its input file is
+    missing) marks that partition 'error' and the run continues — round 2
+    let the exception abort the whole backfill (ADVICE r2 medium)."""
+    m = CheckpointManifest(spark, str(tmp_path / "ckpt_fperr"))
+
+    def fp(p):
+        if p == "b":
+            raise FileNotFoundError("no input for b")
+        return "v1"
+
+    def build(p):
+        return spark.createDataFrame(pd.DataFrame({"src": [p], "v": [1]}))
+
+    r = m.run_stage("s", ["a", "b", "c"], build, "src", input_fp=fp)
+    assert r["a"] == ("ok", 1) and r["c"] == ("ok", 1)
+    assert r["b"][0] == "error" and "no input" in r["b"][1]
+    # and the failed partition retries once its input appears
+    r2 = m.run_stage("s", ["a", "b", "c"], build, "src", input_fp=lambda p: "v1")
+    assert r2["b"] == ("ok", 1)
+    assert r2["a"] == ("skipped", None) and r2["c"] == ("skipped", None)
+
+
+def test_resume_without_fingerprint_skips_fingerprinted_rows(spark, tmp_path):
+    """Turning input_fp OFF between runs must not redo a completed
+    backfill: an empty current fingerprint matches any recorded one
+    (ADVICE r2: recorded fp != '' forced a full recompute)."""
+    m = CheckpointManifest(spark, str(tmp_path / "ckpt_toggle"))
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        return spark.createDataFrame(pd.DataFrame({"src": [p], "v": [1]}))
+
+    m.run_stage("s", ["a", "b"], build, "src", input_fp=lambda p: "v1")
+    calls.clear()
+    r = m.run_stage("s", ["a", "b"], build, "src")  # no input_fp this time
+    assert calls == [] and all(v[0] == "skipped" for v in r.values())
+
+
+def test_manifest_file_count_bounded(spark, tmp_path):
+    """A many-partition backfill must not leave one manifest file per
+    partition: records are flushed in batches (verdict r2 #7). 40
+    partitions at flush_every=16 -> <= a handful of parquet files."""
+    m = CheckpointManifest(spark, str(tmp_path / "ckpt_batch"))
+
+    def build(p):
+        return spark.createDataFrame(pd.DataFrame({"src": [p], "v": [1]}))
+
+    parts = [f"p{i:02d}" for i in range(40)]
+    r = m.run_stage("s", parts, build, "src", max_parallel=4, flush_every=16)
+    assert all(r[p] == ("ok", 1) for p in parts)
+    files = [f for f in os.listdir(m.path) if f.endswith(".parquet")]
+    assert len(files) <= 6, files  # ceil(40/16)=3 flushes (+ slack)
+    man = m.read().filter(F.col("status") == "ok").toPandas()
+    assert sorted(man.partition) == parts  # nothing lost in batching
+
+
+def test_iceberg_requires_explicit_table_identifier(spark, tmp_path):
+    """The Iceberg backend takes an EXPLICIT catalog identifier — round 2
+    derived one from the filesystem path, a guess no real catalog accepts.
+    iceberg=True without iceberg_table is a constructor error; the
+    parquet backend ignores the identifier both ways."""
+    import pytest
+
+    with pytest.raises(ValueError, match="iceberg_table"):
+        CheckpointManifest(spark, str(tmp_path / "ice1"), iceberg=True)
+
+    # identifier present but backend degraded to parquet -> parquet dirs
+    m = CheckpointManifest(spark, str(tmp_path / "ice2"), iceberg=False,
+                           iceberg_table="local.db.features")
+    assert m.iceberg is False and m.iceberg_table == "local.db.features"
+    m.run_stage("s", ["a"], lambda p: spark.createDataFrame(
+        pd.DataFrame({"src": [p], "v": [1]})), "src")
+    assert os.path.exists(str(tmp_path / "ice2" / "s" / "src=a"))
+
+    # iceberg=True + identifier: accepted (writeTo targets the identifier;
+    # executing it needs a runtime jar, env-blocked in this sandbox)
+    m2 = CheckpointManifest(spark, str(tmp_path / "ice3"), iceberg=True,
+                            iceberg_table="local.db.features")
+    assert m2.iceberg_table == "local.db.features"
+
+
 def test_iceberg_detection_degrades_to_parquet(spark, tmp_path):
     """No Iceberg jar in the sandbox -> detection is False and the
     manifest writes parquet dirs (the writeTo hook engages only when a

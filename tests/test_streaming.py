@@ -57,21 +57,30 @@ def test_stream_matches_batch(spark, tmp_path, event_pdf):
 
 def test_stateful_eviction_max_age_and_idle(spark, tmp_path):
     """applyInPandasWithState twin of the capture buffer
-    (capture_pkts.py:100-126): a flow older than max_age closes with
-    'max_age'; an idle flow is evicted by the event-time watermark with
-    'idle'."""
+    (capture_pkts.py:100-126): a flow whose age crosses max_age closes
+    with 'max_age' AT the crossing packet; idle gaps WITHIN one batch
+    split the flow per packet gap (the reference's per-packet TIMEOUT
+    restart — a replay batch holds many restarts); a flow idle across
+    batches is evicted by the event-time watermark with 'idle'."""
     from netml_spark.streaming.eviction import stateful_flow_eviction
 
     t0 = 1_700_000_000.0
-    # batch 1: flowA = 3 quick packets (goes idle); flowB spans > max_age
+    # batch 1:
+    #   flowA = 3 quick packets (goes idle, watermark-evicted in batch 2)
+    #   flowB = 10 packets every 450 s (gaps < 600 s idle) spanning 4050 s
+    #           > max_age: closes max_age at the crossing packet, n=10
+    #   flowD = 3 packets 2000 s apart: two intra-batch idle restarts
+    #           (n=1 each) inside ONE micro-batch; 3rd segment stays open
     f1 = pd.DataFrame({
-        "doc_id": ["A", "A", "A", "B", "B", "B"],
-        "ts": [t0, t0 + 1, t0 + 2, t0, t0 + 2000, t0 + 4000],
-        "token": [1, 2, 3, 4, 5, 6],
+        "doc_id": ["A"] * 3 + ["B"] * 10 + ["D"] * 3,
+        "ts": [t0, t0 + 1, t0 + 2]
+        + [t0 + 450.0 * i for i in range(10)]
+        + [t0, t0 + 2000, t0 + 4000],
+        "token": list(range(16)),
     })
     # batch 2: a late entity far in the future — pushes the watermark past
     # A's idle deadline so the timeout fires
-    f2 = pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [7]})
+    f2 = pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [99]})
 
     src = str(tmp_path / "evict_src")
     spark.createDataFrame(f1).coalesce(1).write.mode("overwrite").parquet(src)
@@ -95,10 +104,24 @@ def test_stateful_eviction_max_age_and_idle(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("select * from evict_stream").toPandas()
-    byid = got.set_index("doc_id")
-    assert byid.loc["B", "reason"] == "max_age"
-    assert int(byid.loc["B", "n_pkts"]) == 3
-    assert byid.loc["A", "reason"] == "idle"
-    assert int(byid.loc["A", "n_pkts"]) == 3
-    assert byid.loc["A", "last_ts"] == t0 + 2
-    assert "C" not in byid.index  # still open in state
+
+    b = got[got.doc_id == "B"]
+    assert list(b.reason) == ["max_age"]
+    assert int(b.n_pkts.iloc[0]) == 10  # crossing packet included
+    assert float(b.last_ts.iloc[0]) == t0 + 4050.0
+
+    a = got[got.doc_id == "A"]
+    assert list(a.reason) == ["idle"]
+    assert int(a.n_pkts.iloc[0]) == 3
+    assert float(a.last_ts.iloc[0]) == t0 + 2
+
+    # D: the two leading segments restart per intra-batch gap (round 2
+    # merged them via min/max into one open flow — the ADVICE r2 bug);
+    # the trailing segment may stay open (watermark-dependent)
+    d = got[got.doc_id == "D"].sort_values("start_ts")
+    assert len(d) >= 2
+    assert list(d.reason)[:2] == ["idle", "idle"]
+    assert list(d.n_pkts)[:2] == [1, 1]
+    assert list(d.start_ts)[:2] == [t0, t0 + 2000]
+
+    assert "C" not in set(got.doc_id)  # still open in state
