@@ -22,6 +22,9 @@ import datetime
 import os
 import sys
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -37,7 +40,6 @@ def main(argv=None):
                     help="optionally write (flow key, prediction) parquet")
     args = ap.parse_args(argv)
 
-    import numpy as np
     from pyspark.sql import functions as F
 
     from netml_spark import ndm
@@ -55,9 +57,18 @@ def main(argv=None):
     plan = FeaturePlan(feat_type=feat_type,
                        q_interval=float(ex.get("q_interval", 0.9)))
     carry = ("source",) if "source" in ev.columns else ()
-    feats = plan.extract(ev, entity_cols, ex.get("ts_col", "ts"),
-                         ex.get("token_col", "token"), order_cols,
-                         carry_cols=carry)
+    try:
+        feats = plan.extract(ev, entity_cols, ex.get("ts_col", "ts"),
+                             ex.get("token_col", "token"), order_cols,
+                             carry_cols=carry)
+    except ValueError as e:
+        # zero rows survived the session/subflow thresholds (or the input
+        # is empty): the two-pass quantile scalar has nothing to measure.
+        # Print the empty report instead of crashing (ADVICE r2 fix).
+        if "empty input" not in str(e):
+            raise
+        print("# flows=0 anomalies=0")
+        return
 
     key_cols = [*entity_cols, "session_id", "subflow_id"]
 
@@ -67,8 +78,6 @@ def main(argv=None):
     # ran a full toPandas() + one driver-side numpy predict, faithful to
     # the reference's in-memory matrix at cli.py:202 but a driver OOM on
     # a 10^12-sequence corpus).
-    import pandas as pd
-
     bc = spark.sparkContext.broadcast(model)
 
     @F.pandas_udf("int")
