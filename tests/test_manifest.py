@@ -134,18 +134,18 @@ def test_resume_without_fingerprint_skips_fingerprinted_rows(spark, tmp_path):
 
 def test_manifest_file_count_bounded(spark, tmp_path):
     """A many-partition backfill must not leave one manifest file per
-    partition: records are flushed in batches (verdict r2 #7). 40
-    partitions at flush_every=16 -> <= a handful of parquet files."""
+    partition: records are flushed in batches (verdict r2 #7). 24
+    partitions at flush_every=8 -> <= a handful of parquet files."""
     m = CheckpointManifest(spark, str(tmp_path / "ckpt_batch"))
 
     def build(p):
         return spark.createDataFrame(pd.DataFrame({"src": [p], "v": [1]}))
 
-    parts = [f"p{i:02d}" for i in range(40)]
-    r = m.run_stage("s", parts, build, "src", max_parallel=4, flush_every=16)
+    parts = [f"p{i:02d}" for i in range(24)]
+    r = m.run_stage("s", parts, build, "src", max_parallel=4, flush_every=8)
     assert all(r[p] == ("ok", 1) for p in parts)
     files = [f for f in os.listdir(m.path) if f.endswith(".parquet")]
-    assert len(files) <= 6, files  # ceil(40/16)=3 flushes (+ slack)
+    assert len(files) <= 4, files  # ceil(24/8)=3 flushes (+ slack)
     man = m.read().filter(F.col("status") == "ok").toPandas()
     assert sorted(man.partition) == parts  # nothing lost in batching
 

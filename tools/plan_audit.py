@@ -117,6 +117,20 @@ def main():
     before = jobs_submitted()
     sigs = minhash_signatures(docs_df)
     minhash_lsh_pairs(sigs, n_hashes=64, bands=16)
+    # 6b. the LSH band shuffle must be NARROW: no exchange keyed on
+    # (band, bh) may carry the signature array (round 2 shuffled
+    # ~bands*8*n_hashes bytes/doc through the candidate join; signatures
+    # now rejoin once per unique deduped pair)
+    lsh_plan = plan_str(minhash_lsh_pairs(sigs, n_hashes=64, bands=16,
+                                          cache_sigs=False))
+    wide_band_exchange = False
+    for block in lsh_plan.split("\n\n"):
+        if not re.match(r"\(\d+\) (Broadcast)?Exchange", block):
+            continue
+        if "band#" in block and "sig" in block:
+            wide_band_exchange = True
+            print("   wide band exchange:", block.splitlines()[1].strip())
+    results["minhash_band_shuffle_narrow"] = not wide_band_exchange
     simhash_pairs(simhash_signatures(docs_df))
     ngram_jaccard_pairs(docs_df)
     embedding_neardup_pairs(emb_df, dim=64, n_planes=4, n_tables=2)

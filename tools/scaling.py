@@ -155,13 +155,24 @@ def main():
     if not os.path.exists(md):
         with open(md, "w") as f:
             f.write(header)
+    input_tag = f"{rN['n_sequences']} seqs + sf0.1"
     with open(md, "a") as f:
         f.write(
-            f"| {stamp} | {rN['n_sequences']} seqs + sf0.1 | {n}->{n4} | "
+            f"| {stamp} | {input_tag} | {n}->{n4} | "
             f"{ceiling:.2f}x/4 | {thrN:.0f} | {thr4N:.0f} | {eff_seq:.2f} | "
             f"{rN['value']:.1f}s | {r4N['value']:.1f}s | {eff_total:.2f} |"
             f" <!-- eff vs machine ceiling: {eff_seq_norm:.2f} -->\n"
         )
+        # per-query gated detail (the round-2 verdict asked for this table
+        # to include every north query, notably sessionize_stats)
+        f.write(f"\nPer-query gated detail ({stamp}, {input_tag}, "
+                f"ceiling {ceiling:.2f}x/4):\n\n")
+        f.write("| query | @N (s) | @4N (s) | raw eff | vs ceiling |\n|---|---|---|---|---|\n")
+        for q in sorted(rN["queries"], key=lambda q: -rN["queries"][q]):
+            tN, t4 = rN["queries"][q], r4N["queries"][q]
+            f.write(f"| {q} | {tN:.2f} | {t4:.2f} | {tN / (4 * t4):.2f} | "
+                    f"{tN / (ceiling * t4):.2f} |\n")
+        f.write("\n")
 
 
 if __name__ == "__main__":
