@@ -201,6 +201,10 @@ def main():
         else None,
     }
     print(json.dumps(result))
+    # explicit stop: a bench subprocess whose JVM outlives the python
+    # driver (observed under subprocess.run with captured pipes) pollutes
+    # the NEXT scaling trial with an idle 48g-heap JVM
+    spark.stop()
 
 
 if __name__ == "__main__":

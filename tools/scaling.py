@@ -54,7 +54,7 @@ def run_bench_once(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=2400,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
