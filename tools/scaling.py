@@ -50,14 +50,27 @@ def pure_cpu_calibration(n: int, n4: int) -> float:
     return times[n] / times[n4]
 
 
-def run_bench_once(cpus: int) -> dict:
+def run_bench_once(cpus: int) -> dict | None:
+    """One bench subprocess; None if it failed (crash/timeout/empty
+    stdout) — the caller treats that like a tainted trial and retries.
+    The stderr tail is surfaced: a swallowed subprocess failure cost a
+    full 90-minute measurement window in round 3."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# bench local[{cpus}] TIMED OUT (3600s)", file=sys.stderr)
+        return None
+    lines = out.stdout.strip().splitlines()
+    if out.returncode != 0 or not lines:
+        tail = "\n".join(out.stderr.strip().splitlines()[-15:])
+        print(f"# bench local[{cpus}] FAILED rc={out.returncode}; stderr tail:\n"
+              f"{tail}", file=sys.stderr)
+        return None
+    return json.loads(lines[-1])
 
 
 def main():
@@ -88,7 +101,9 @@ def main():
         if healthy_trials >= runs:
             break
         a = run_bench_once(n)
-        b = run_bench_once(n4)
+        b = run_bench_once(n4) if a is not None else None
+        if a is None or b is None:
+            continue  # failed pair counts as an attempt, never as a trial
         # the pre-run calibration only certifies the START of the window;
         # the host's deliverable parallelism drifts DURING runs (observed:
         # local[16] slower than local[4] in absolute terms mid-run). So
@@ -110,6 +125,10 @@ def main():
             rN = a
         if r4N is None or b["value"] < r4N["value"]:
             r4N = b
+    if rN is None or r4N is None:
+        print("no successful trial pair (all attempts failed or tainted)",
+              file=sys.stderr)
+        sys.exit(2)
     # noise-robust estimate: per-query minima across trials (the VM's
     # transient slowdowns only ever ADD time, so minima approximate the
     # contention-free runtime at each level)
