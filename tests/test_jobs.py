@@ -1,0 +1,77 @@
+"""jobs/ lifecycle under pytest: learn -> classify with DISTRIBUTED
+scoring (broadcast-model pandas_udf) must reproduce the driver-side
+model.predict exactly, and the printed report must match the sink."""
+
+import re
+
+import numpy as np
+import pytest
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    import jobs.learn as learn
+
+    p = str(tmp_path_factory.mktemp("model") / "model.pkl")
+    learn.main([
+        "--inputs", EVENTS, "--feat-type", "STATS", "--model", "pca",
+        "--entity-cols", "user_id", "--token-col", "value",
+        "--order-cols", "event_id", "--output-model", p,
+    ])
+    return p
+
+
+def test_classify_distributed_scoring_parity(spark, tmp_path, capsys, model_path):
+    import jobs.classify as classify
+
+    out_dir = str(tmp_path / "scored")
+    classify.main(["--input", EVENTS, "--model", model_path,
+                   "--output", out_dir])
+    report = capsys.readouterr().out
+    m = re.search(r"# flows=(\d+) anomalies=(\d+)", report)
+    assert m, report
+
+    scored = spark.read.parquet(out_dir).toPandas()
+    assert int(m.group(1)) == len(scored)
+    assert int(m.group(2)) == int(scored.prediction.sum())
+    # every anomaly line in the report names a flow the sink scored 1
+    n_lines = sum(1 for ln in report.splitlines() if ln.endswith("ANOMALY"))
+    assert n_lines == int(scored.prediction.sum())
+
+    # parity: executor-side pandas_udf predictions == driver-side
+    # model.predict on the same re-extracted feature matrix
+    from netml_spark import ndm
+    from netml_spark.pipeline import FeaturePlan
+
+    model = ndm.Model.load(model_path)
+    ex = model.history["report"]["extract"]
+    plan = FeaturePlan(feat_type=ex["feat_type"],
+                       q_interval=float(ex["q_interval"]))
+    feats = plan.extract(spark.read.parquet(EVENTS), ("user_id",), "ts",
+                         "value", ("event_id",))
+    pdf = feats.select("user_id", "session_id", "subflow_id",
+                       "features").toPandas()
+    X = np.stack(pdf["features"].map(lambda v: np.asarray(v, np.float64)))
+    pdf["expected"] = model.predict(X)
+    key = ["user_id", "session_id", "subflow_id"]
+    merged = scored.merge(pdf.drop(columns=["features"]), on=key)
+    assert len(merged) == len(scored) == len(pdf)
+    np.testing.assert_array_equal(merged["prediction"], merged["expected"])
+
+
+def test_classify_empty_input_zero_report(spark, tmp_path, capsys, model_path):
+    import pandas as pd
+
+    import jobs.classify as classify
+
+    empty = str(tmp_path / "empty.parquet")
+    spark.createDataFrame(pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="float64"),
+        "value": pd.Series([], dtype="float64"),
+        "event_id": pd.Series([], dtype="int64"),
+    })).write.mode("overwrite").parquet(empty)
+    classify.main(["--input", empty, "--model", model_path])
+    assert "# flows=0 anomalies=0" in capsys.readouterr().out
