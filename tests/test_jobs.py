@@ -50,7 +50,7 @@ def test_classify_distributed_scoring_parity(spark, tmp_path, capsys, model_path
     plan = FeaturePlan(feat_type=ex["feat_type"],
                        q_interval=float(ex["q_interval"]))
     feats = plan.extract(spark.read.parquet(EVENTS), ("user_id",), "ts",
-                         "value", ("event_id",))
+                         "value", ("event_id",), carry_cols=())
     pdf = feats.select("user_id", "session_id", "subflow_id",
                        "features").toPandas()
     X = np.stack(pdf["features"].map(lambda v: np.asarray(v, np.float64)))
@@ -72,6 +72,7 @@ def test_classify_empty_input_zero_report(spark, tmp_path, capsys, model_path):
         "ts": pd.Series([], dtype="float64"),
         "value": pd.Series([], dtype="float64"),
         "event_id": pd.Series([], dtype="int64"),
-    })).write.mode("overwrite").parquet(empty)
+    }), schema="user_id long, ts double, value double, event_id long",
+    ).write.mode("overwrite").parquet(empty)
     classify.main(["--input", empty, "--model", model_path])
     assert "# flows=0 anomalies=0" in capsys.readouterr().out
