@@ -57,18 +57,12 @@ def main(argv=None):
     plan = FeaturePlan(feat_type=feat_type,
                        q_interval=float(ex.get("q_interval", 0.9)))
     carry = ("source",) if "source" in ev.columns else ()
-    try:
-        feats = plan.extract(ev, entity_cols, ex.get("ts_col", "ts"),
-                             ex.get("token_col", "token"), order_cols,
-                             carry_cols=carry)
-    except ValueError as e:
-        # zero rows survived the session/subflow thresholds (or the input
-        # is empty): the two-pass quantile scalar has nothing to measure.
-        # Print the empty report instead of crashing (ADVICE r2 fix).
-        if "empty input" not in str(e):
-            raise
-        print("# flows=0 anomalies=0")
-        return
+    # empty input (zero rows surviving the session/subflow thresholds) is a
+    # VALUE here, not an exception: FeaturePlan.extract returns an empty,
+    # correctly-schemaed frame and the report below prints flows=0.
+    feats = plan.extract(ev, entity_cols, ex.get("ts_col", "ts"),
+                         ex.get("token_col", "token"), order_cols,
+                         carry_cols=carry)
 
     key_cols = [*entity_cols, "session_id", "subflow_id"]
 
@@ -93,10 +87,12 @@ def main(argv=None):
         F.element_at("times", -1).alias("ts_last"),
         score(F.col("features")).alias("prediction"),
     )
+    # one distributed pass regardless of --output: without the persist the
+    # totals aggregation AND the report scan would each re-run the full
+    # feature-extraction + pandas_udf scoring pipeline (correct since
+    # predict is deterministic, but double the work).
+    scored = scored.persist()
     if args.output:
-        # one distributed pass: persist so the report tail reuses the
-        # scored table instead of re-extracting features
-        scored = scored.persist()
         scored.write.mode("overwrite").parquet(args.output)
 
     totals = scored.agg(
@@ -105,20 +101,21 @@ def main(argv=None):
     ).collect()[0]
 
     # Report tail on the driver: at default verbosity only anomalies are
-    # printed (cli.py:204-210), so the collect is bounded by the anomaly
-    # count; --report-all / -v>1 explicitly asks for every line.
+    # printed (cli.py:204-210); --report-all / -v>1 asks for every line.
+    # Streamed via toLocalIterator — one partition in driver memory at a
+    # time, never the whole flow table (a 10^12-sequence corpus under
+    # --report-all would OOM a toPandas()).
     report = scored
     if not args.report_all and args.verbosity <= 1:
         report = report.filter(F.col("prediction") != 0)
-    pdf = report.orderBy("ts_first", *key_cols).toPandas()
-
-    for row in pdf.itertuples(index=False):
+    for row in report.orderBy("ts_first", *key_cols).toLocalIterator():
         tag = "NORMAL" if row.prediction == 0 else "ANOMALY"
         d0 = datetime.datetime.fromtimestamp(float(row.ts_first), datetime.timezone.utc)
         d1 = datetime.datetime.fromtimestamp(float(row.ts_last), datetime.timezone.utc)
-        key = ":".join(str(getattr(row, c)) for c in key_cols)
+        key = ":".join(str(row[c]) for c in key_cols)
         print(f"[{d0.date()}] [{d0.time()} – {d1.time()}] {key} {tag}")
     print(f"# flows={int(totals.n)} anomalies={int(totals.anom)}")
+    scored.unpersist()
 
     if args.output:
         print(f"wrote {args.output}")

@@ -46,9 +46,22 @@ def build_query(spark, args):
     from netml_spark.streaming.eviction import stateful_flow_eviction
     from netml_spark.streaming.session_stream import streaming_session_stats
 
-    # file streams need an explicit schema; take it from the files already
-    # landed (one footer read, no data scan)
-    schema = spark.read.parquet(args.input).schema
+    # file streams need an explicit schema. A continuous job commonly
+    # starts BEFORE the first file lands, so --schema (DDL string, e.g.
+    # "doc_id string, ts timestamp, token int") takes precedence; without
+    # it the schema comes from already-landed files (one footer read, no
+    # data scan) — and an empty/missing landing dir is a clear error.
+    if getattr(args, "schema", None):
+        schema = args.schema
+    else:
+        try:
+            schema = spark.read.parquet(args.input).schema
+        except Exception as e:
+            raise SystemExit(
+                f"no files landed yet under {args.input!r} and no --schema "
+                f"given; pass --schema 'col type, ...' to start the stream "
+                f"before the first file arrives ({e})"
+            )
     entity_cols = tuple(args.entity_cols.split(","))
 
     stream = spark.readStream.schema(schema)
@@ -90,6 +103,9 @@ def main(argv=None):
                     help="streaming checkpoint dir (exactly-once resume)")
     ap.add_argument("--mode", default="sessions",
                     choices=["sessions", "eviction"])
+    ap.add_argument("--schema", default=None,
+                    help="DDL schema of the event files (lets the stream "
+                         "start before the first file lands)")
     ap.add_argument("--entity-cols", default="doc_id")
     ap.add_argument("--ts-col", default="ts")
     ap.add_argument("--token-col", default="token")

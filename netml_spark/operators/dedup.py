@@ -239,12 +239,34 @@ def band_hash(sig_col, band: int, rows_per_band: int):
     )
 
 
+def materialize_signatures(
+    sigs: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Persist a MinHash signature frame as an id-bucketed, id-sorted
+    catalog table and return the bucketed read.
+
+    This is the at-scale storage layout for the LSH pair rejoin: both
+    id-keyed joins in ``minhash_lsh_pairs`` (sig_a, sig_b lookup) consume
+    the table's persistent hash partitioning, so NO exchange ever carries
+    the wide signature arrays — only the tiny candidate-pair side shuffles
+    (plan property ``minhash_rejoin_bucketed_no_sig_exchange``). At 10^12
+    docs the signature table is the big side of both rejoins; without
+    bucketing it is hash-partitioned twice per pairs build."""
+    from netml_spark.bucketing import write_bucketed
+
+    write_bucketed(sigs, table, ["id"], n_buckets=n_buckets, sort_cols=["id"])
+    return sigs.sparkSession.table(table)
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
     cache_sigs: bool = True,
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into ``bands`` equal bands, bucket
     by (band index, band hash), emit candidate pairs whose estimated
@@ -263,12 +285,22 @@ def minhash_lsh_pairs(
     pair set instead of one wide one over every band row). ``cache_sigs``
     persists the signature frame so the minhash kernel runs once, not
     once per join side — at real scale signatures are a materialized
-    table and the caller passes False."""
+    table (see ``materialize_signatures``: id-bucketed, so both rejoins
+    are exchange-free on the signature side) and the caller passes False.
+
+    CACHE LIFETIME: the persisted frame is NOT unpersisted here (the
+    returned DataFrame still references it lazily). Repeated calls in one
+    session therefore accumulate cached signature frames; pass a list as
+    ``unpersist_handle`` to receive the persisted frame and release it
+    (``handle[0].unpersist()``) once the pairs have been consumed, or use
+    ``cache_sigs=False`` with a materialized table."""
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by bands ({bands})")
     rows_per_band = n_hashes // bands
     if cache_sigs:
         sigs = sigs.persist()
+        if unpersist_handle is not None:
+            unpersist_handle.append(sigs)
     # band hashes are computed map-side from sig, then sig is DROPPED
     # before the exchange: the band shuffle carries 3 longs + id per row
     banded = sigs.select(

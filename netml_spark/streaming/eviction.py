@@ -107,18 +107,24 @@ def stateful_flow_eviction(
             n, start, last = int(n), float(start), float(last)
         else:
             n, start, last = 0, 0.0, 0.0
+        # LATE-DATA CLAMP (ADVICE r3): a late micro-batch whose events all
+        # precede the carried flow's last timestamp must not rewind `last`
+        # — the carried last stays the flow's true maximum until the flow
+        # it belongs to closes (first close/restart resets the clamp; flows
+        # opened INSIDE this batch contain no carried packets).
+        carried_last = last if n else 0.0
         # the carried flow restarts if the gap to the batch head exceeds
         # the idle timeout (the same per-packet test the scan below does)
         if n and t[0] - last > idle_s:
             rows.append((*key, n, start, last, "idle"))
-            n = 0
+            n, carried_last = 0, 0.0
         # segment the sorted batch at intra-batch idle gaps — each gap is a
         # per-packet TIMEOUT restart in the reference, not a state merge
         bounds = np.flatnonzero(np.diff(t) > idle_s) + 1
         for si, seg in enumerate(np.split(t, bounds)):
             if si > 0 and n:
-                rows.append((*key, n, start, last, "idle"))
-                n = 0
+                rows.append((*key, n, start, max(last, carried_last), "idle"))
+                n, carried_last = 0, 0.0
             i = 0
             while i < len(seg):
                 if n == 0:
@@ -134,10 +140,11 @@ def stateful_flow_eviction(
                     break
                 n += j - i + 1
                 last = float(seg[j])
-                rows.append((*key, n, start, last, "max_age"))
-                n = 0
+                rows.append((*key, n, start, max(last, carried_last), "max_age"))
+                n, carried_last = 0, 0.0
                 i = j + 1
         if n:
+            last = max(last, carried_last)
             state.update((int(n), float(start), float(last)))
             # idle eviction rides the watermark clock; the timeout
             # timestamp must sit above the current watermark

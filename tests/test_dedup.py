@@ -107,3 +107,58 @@ def test_embedding_neardup(spark):
     both = emb.unionByName(extra)
     pairs = dedup.embedding_neardup_pairs(both, threshold=0.99).toPandas()
     assert (0, 9001) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _sig_carrying_exchanges(df) -> list:
+    import re
+
+    bad = []
+    for block in _plan(df).split("\n\n"):
+        if re.match(r"\(\d+\) (Broadcast)?Exchange", block) and "sig#" in block:
+            bad.append(block.splitlines()[0].strip())
+    return bad
+
+
+def test_minhash_bucketed_sigs_parity_and_no_sig_exchange(spark, docs_with_dups):
+    """r3-verdict item 3: with signatures materialized as an id-bucketed
+    table, minhash_lsh_pairs returns the SAME pairs, and NO exchange in
+    the plan carries the signature array — the band candidate shuffle is
+    narrow (ids only) and both id-keyed rejoins read the table's
+    persistent bucketed partitioning instead of re-hashing the sig side."""
+    sigs = dedup.minhash_signatures(docs_with_dups, n_hashes=64)
+    base = (
+        dedup.minhash_lsh_pairs(sigs, bands=16, threshold=0.5, cache_sigs=False)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    bsigs = dedup.materialize_signatures(sigs, "minhash_sigs_t", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.minhash_lsh_pairs(bsigs, bands=16, threshold=0.5,
+                                        cache_sigs=False)
+        assert _sig_carrying_exchanges(pairs) == []
+        got = pairs.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS minhash_sigs_t")
+    pd.testing.assert_frame_equal(got, base)
+    assert len(base) > 0
+
+
+def test_minhash_unpersist_handle_releases_cache(spark, docs_with_dups):
+    """cache_sigs=True persists the signature frame for the lifetime of
+    the session (documented); the unpersist_handle gives callers the
+    persisted frame so they can release it after consuming the pairs."""
+    sigs = dedup.minhash_signatures(docs_with_dups, n_hashes=64)
+    handle = []
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=16, unpersist_handle=handle)
+    assert pairs.count() > 0
+    assert len(handle) == 1 and handle[0].is_cached
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].is_cached

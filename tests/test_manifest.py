@@ -202,3 +202,52 @@ def test_run_stage_parallel(spark, tmp_path):
     assert all(r[p] == ("ok", 3) for p in parts)
     man = m.read().filter(F.col("status") == "ok").toPandas()
     assert sorted(man.partition) == sorted(parts)
+
+
+def test_iceberg_write_call_shape_pinned(spark, tmp_path, monkeypatch):
+    """r3-verdict item 8: the env-blocked Iceberg integration's CALL SHAPE,
+    pinned without the runtime jar by intercepting DataFrame.writeTo —
+    run_stage under iceberg=True must target EXACTLY the caller's
+    iceberg_table identifier via overwritePartitions, with the partition
+    column stamped on every frame, and still record 'ok' manifest rows."""
+    try:
+        # Spark 4: the classic DataFrame subclass overrides writeTo, so the
+        # interception must land on the class actually dispatched
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    calls = []
+
+    class _FakeWriter:
+        def __init__(self, table, cols):
+            self.table, self.cols = table, cols
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.table, self.cols))
+
+    def fake_write_to(self, table):
+        return _FakeWriter(table, list(self.columns))
+
+    monkeypatch.setattr(DataFrame, "writeTo", fake_write_to)
+    root = str(tmp_path / "ice_shape")
+    m = CheckpointManifest(spark, root, iceberg=True,
+                           iceberg_table="cat.db.features")
+    res = m.run_stage(
+        "feat", ["s1", "s2"],
+        lambda p: spark.createDataFrame(pd.DataFrame({"v": [1, 2]})),
+        partition_col="source",
+    )
+    assert {s for s, _ in res.values()} == {"ok"}
+    assert len(calls) == 2
+    for verb, table, cols in calls:
+        assert verb == "overwritePartitions"
+        assert table == "cat.db.features"   # the explicit identifier, never a path guess
+        assert "source" in cols             # partition column stamped before writeTo
+    # manifest recorded both partitions ok -> a rerun skips them
+    res2 = m.run_stage(
+        "feat", ["s1", "s2"],
+        lambda p: spark.createDataFrame(pd.DataFrame({"v": [1, 2]})),
+        partition_col="source",
+    )
+    assert {s for s, _ in res2.values()} == {"skipped"}

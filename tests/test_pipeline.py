@@ -75,3 +75,29 @@ def test_featureplan_parity(spark, token_events_df, token_events_pdf, feat_type,
     assert dims == {len(next(iter(ora.values())))}, "fixed output dim"
     for k in ora:
         np.testing.assert_allclose(got[k], ora[k], rtol=1e-9, atol=1e-9, err_msg=str(k))
+
+
+def test_featureplan_empty_input_is_a_value(spark, token_events_df):
+    """r3-verdict item 6: zero input rows (or none surviving the
+    session/subflow thresholds) yield an EMPTY, correctly-schemaed frame —
+    not a ValueError from the two-pass quantile. Placeholder scalars flow
+    through the plan (flagged by plan.empty_input); every caller composes
+    without a catch (jobs/classify.py's was removed)."""
+    from pyspark.sql import functions as F
+
+    empty = token_events_df.filter(F.col("doc_id") == "__no_such_doc__")
+    for feat_type in ("IAT", "STATS", "SAMP_NUM"):
+        plan = FeaturePlan(feat_type=feat_type)
+        out = plan.extract(empty, ("doc_id",), "ts", "token", ("seq",))
+        assert out.columns == [
+            "doc_id", "session_id", "subflow_id", "source",
+            "n_tok", "tokens", "times", "features",
+        ]
+        assert dict(out.dtypes)["features"] == "array<double>"
+        assert out.count() == 0
+        assert plan.empty_input
+
+    # a plan over real input keeps the flag off
+    plan = FeaturePlan(feat_type="IAT")
+    out = plan.extract(token_events_df, ("doc_id",), "ts", "token", ("seq",))
+    assert not plan.empty_input and out.count() > 0

@@ -170,3 +170,86 @@ def test_stateful_eviction_max_age_and_idle(spark, tmp_path):
     assert list(d.start_ts)[:2] == [t0, t0 + 2000]
 
     assert "C" not in set(got.doc_id)  # still open in state
+
+
+def test_stateful_eviction_late_batch_keeps_last_monotone(spark, tmp_path):
+    """ADVICE r3: a late micro-batch whose events all precede the carried
+    flow's last timestamp must NOT rewind state.last — the later gap test
+    compares against the flow's true maximum, so the flow survives a gap
+    that only looks idle against the rewound value."""
+    from netml_spark.streaming.eviction import stateful_flow_eviction
+
+    t0 = 1_700_000_000.0
+    batches = [
+        # batch 1: E up to t0+100 (state.last = t0+100)
+        pd.DataFrame({"doc_id": ["E", "E"], "ts": [t0, t0 + 100.0], "token": [0, 1]}),
+        # batch 2: one LATE event (t0+50 < carried last). Without the clamp
+        # state.last regresses to t0+50.
+        pd.DataFrame({"doc_id": ["E"], "ts": [t0 + 50.0], "token": [2]}),
+        # batch 3: t0+690 — gap vs TRUE last (100) is 590 <= 600 (merge);
+        # vs the rewound last (50) it is 640 > 600 (spurious idle split)
+        pd.DataFrame({"doc_id": ["E"], "ts": [t0 + 690.0], "token": [3]}),
+        # batch 4: far-future entity pushes the watermark past E's idle
+        # deadline so the (single, merged) flow closes
+        pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [9]}),
+    ]
+    src = str(tmp_path / "late_src")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b).coalesce(1).write.mode(mode).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(batches[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # large watermark delay so the late batch is not dropped upstream of
+    # the stateful operator (the regression needs the row to ARRIVE)
+    out = stateful_flow_eviction(
+        stream, ("doc_id",), "ts", max_age=3600.0, idle_timeout=600.0,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_evict_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from late_evict_stream").toPandas()
+    e = got[got.doc_id == "E"]
+    # exactly ONE merged flow: 4 packets, true span, no spurious idle split
+    assert list(e.reason) == ["idle"]
+    assert int(e.n_pkts.iloc[0]) == 4
+    assert float(e.start_ts.iloc[0]) == t0
+    assert float(e.last_ts.iloc[0]) == t0 + 690.0
+
+
+def test_stream_features_job_starts_before_first_file(spark, tmp_path):
+    """ADVICE r3: a continuous job commonly starts BEFORE the first file
+    lands. With --schema (DDL) the query builds against an empty landing
+    dir; without it the error is explicit, not an AnalysisException."""
+    import argparse
+
+    import jobs.stream_features as sf
+    import pytest
+
+    landing = tmp_path / "not_landed_yet"
+    landing.mkdir()  # dir provisioned, no files landed yet
+    ns = argparse.Namespace(
+        input=str(landing), output=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"), mode="sessions",
+        schema="doc_id string, ts double, token int",
+        entity_cols="doc_id", ts_col="ts", token_col="token",
+        gap="600 seconds", watermark="30 minutes", max_age=3600.0,
+        idle_timeout=600.0, available_now=True,
+        trigger_interval="30 seconds", max_files_per_trigger=None,
+        timeout_s=None,
+    )
+    writer = sf.build_query(spark, ns)  # builds; no files needed
+    assert writer is not None
+
+    ns.schema = None
+    with pytest.raises(SystemExit, match="no files landed"):
+        sf.build_query(spark, ns)

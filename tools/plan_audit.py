@@ -141,6 +141,33 @@ def main():
     if after != before:
         print(f"  ({after - before} jobs ran during operator construction)")
 
+    # 6c. bucketed signature layout (r3-verdict item 3): with signatures
+    # materialized as an id-bucketed table (materialize_signatures), NO
+    # exchange anywhere in the pairs plan carries the signature array —
+    # the candidate shuffle stays narrow (band, bh, id) and both id-keyed
+    # rejoins consume the table's persistent bucketed partitioning.
+    # Broadcast is disabled so the tiny audit table can't sidestep the
+    # property the 10^12-doc plan needs.
+    from netml_spark.operators.dedup import materialize_signatures
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bsigs = materialize_signatures(sigs, "plan_audit_sigs", n_buckets=8)
+        bplan = plan_str(minhash_lsh_pairs(bsigs, n_hashes=64, bands=16,
+                                           cache_sigs=False))
+        sig_exchange = False
+        for block in bplan.split("\n\n"):
+            if not re.match(r"\(\d+\) (Broadcast)?Exchange", block):
+                continue
+            if "sig#" in block:
+                sig_exchange = True
+                print("   sig-carrying exchange:", block.splitlines()[0].strip())
+        results["minhash_rejoin_bucketed_no_sig_exchange"] = not sig_exchange
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(10 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS plan_audit_sigs")
+
     ok = True
     for name, passed in results.items():
         print(f"{'PASS' if passed else 'FAIL'}  {name}")
