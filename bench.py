@@ -105,6 +105,26 @@ def bench_queries(spark):
         st = stats_features(sess, ("doc_id", "session_id"), "ts", "token")
         return st.filter(F.col("num_pkts") >= 2).agg(F.sum("num_bytes").alias("chk"))
 
+    def q_subflows_chain():
+        """Reference lifecycle with the grid-aligned interval re-split
+        (netml_subflows at bench scale): sessionize -> subflows ->
+        per-subflow agg. Fixed interval (no data-dependent quantile
+        driver pass) so the plan is identical across scaling trials."""
+        from netml_spark.operators.sessionize import (
+            sessionize_timeout, subflows_interval,
+        )
+
+        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",))
+        subs = subflows_interval(
+            sess, 10.0, ["doc_id", "session_id"], "ts", 2, ("seq",)
+        )
+        per = subs.groupBy("doc_id", "session_id", "subflow_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("token").alias("s")
+        )
+        return per.agg(
+            F.count(F.lit(1)).alias("chk"), F.sum("s").alias("chk2")
+        )
+
     def q_seq_kernels():
         """Native array kernels: IAT + IAT_SIZE + pad/truncate."""
         from netml_spark.operators import kernels
@@ -144,6 +164,7 @@ def bench_queries(spark):
     qs = {
         "north_asof_features": q_north_asof_features,
         "sessionize_stats": q_sessionize_stats,
+        "subflows_chain": q_subflows_chain,
         "seq_kernels": q_seq_kernels,
         "samp_udf": q_samp_udf,
         "minhash_dedup": q_minhash_dedup,
