@@ -1065,10 +1065,15 @@ def q_netml_subflows(spark, sf_dir):
     from netml_spark.operators import sessionize_timeout, subflows_interval
 
     sess = sessionize_timeout(
-        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",)
+        _events(spark, sf_dir), ("user_id",), "ts", 600.0, 2, ("event_id",),
+        defer_seg_filter=True,
     )
+    # defer + assume_partitioned: the subflow min-size filter subsumes the
+    # deferred session-size filter (exact — the DuckDB recursive-CTE oracle
+    # pins it), and sess is already hash-partitioned by user_id, so the
+    # whole chain runs on ONE exchange.
     subs = subflows_interval(sess, 300.0, ("user_id", "session_id"), "ts", 2,
-                             ("event_id",))
+                             ("event_id",), assume_partitioned=True)
     return (
         subs.groupBy("user_id", "session_id", "subflow_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

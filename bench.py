@@ -114,9 +114,11 @@ def bench_queries(spark):
             sessionize_timeout, subflows_interval,
         )
 
-        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",))
+        sess = sessionize_timeout(tev, ("doc_id",), "ts", 600.0, 2, ("seq",),
+                                  defer_seg_filter=True)
         subs = subflows_interval(
-            sess, 10.0, ["doc_id", "session_id"], "ts", 2, ("seq",)
+            sess, 10.0, ["doc_id", "session_id"], "ts", 2, ("seq",),
+            assume_partitioned=True,
         )
         per = subs.groupBy("doc_id", "session_id", "subflow_id").agg(
             F.count(F.lit(1)).alias("n"), F.sum("token").alias("s")

@@ -161,6 +161,7 @@ def subflows_interval(
     flow_pkts_thres: int = 2,
     order_cols: Sequence[str] = ("seq",),
     subflow_col: str = "subflow_id",
+    assume_partitioned: bool = False,
 ) -> DataFrame:
     """Grid-aligned interval re-split (reference parser.py:209-299).
 
@@ -188,7 +189,19 @@ def subflows_interval(
     (the 100 TB shape) it is unusable; the batched kernel is flat in the
     group count. A group spanning an Arrow batch boundary is carried into
     the next batch (memory bounded by the largest single group, as
-    before)."""
+    before).
+
+    ``assume_partitioned=True`` skips the repartition: correct whenever
+    every (entity...) group already lives in ONE partition — in
+    particular for ``sessionize_timeout`` output, which is hash-partitioned
+    by a PREFIX of these entity cols (its window exchange). The within-
+    partition sort still runs (cheap, no exchange), so the whole
+    sessionize -> subflows chain needs exactly one shuffle. Composition
+    note: ``sessionize_timeout(defer_seg_filter=True)`` -> this operator
+    is EXACTLY equal to the unfused chain — every subflow of a session
+    with < thres rows has < thres rows itself, so the subflow min-size
+    filter subsumes the deferred session-size filter (both use
+    flow_pkts_thres; pinned by the netml_subflows DuckDB gate)."""
     interval = float(interval)
     thres = max(2, int(flow_pkts_thres))
     schema_fields = df.schema.fields
@@ -274,7 +287,6 @@ def subflows_interval(
         if buf is not None and len(buf):
             yield process(buf, group_starts_of(buf))
 
-    ordered = df.repartition(*entity_cols).sortWithinPartitions(
-        *entity_cols, ts_col, *order_cols
-    )
+    base = df if assume_partitioned else df.repartition(*entity_cols)
+    ordered = base.sortWithinPartitions(*entity_cols, ts_col, *order_cols)
     return ordered.mapInPandas(mapper, schema=out_schema)

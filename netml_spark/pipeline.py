@@ -101,10 +101,12 @@ class FeaturePlan:
                 self.empty_input = True
                 self.split_interval = 1.0
 
-        # stage 3: grid-aligned interval re-split (parser.py:209-299)
+        # stage 3: grid-aligned interval re-split (parser.py:209-299).
+        # sess is hash-partitioned by entity (sessionize's window exchange),
+        # so the re-split skips its repartition — one shuffle for the chain.
         subs = subflows_interval(
             sess, self.split_interval, sess_keys, ts_col,
-            self.flow_pkts_thres, order_cols,
+            self.flow_pkts_thres, order_cols, assume_partitioned=True,
         )
         flow_keys = sess_keys + ["subflow_id"]
 

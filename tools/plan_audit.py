@@ -59,6 +59,21 @@ def main():
             if "Exchange" in line:
                 print("   ", line.strip())
 
+    # 2b. the fused sessionize -> subflows chain runs on ONE exchange:
+    # defer_seg_filter folds the session-size filter into the subflow
+    # min-size filter (exact; DuckDB-gated) and assume_partitioned reuses
+    # the window's entity hash partitioning for the re-split kernel.
+    from netml_spark.operators.sessionize import subflows_interval
+
+    sess_d = sessionize_timeout(ev, ("user_id",), "ts", 600.0, 2, ("event_id",),
+                                defer_seg_filter=True)
+    subs = subflows_interval(sess_d, 300.0, ("user_id", "session_id"), "ts", 2,
+                             ("event_id",), assume_partitioned=True)
+    p = plan_str(subs)
+    results["subflows_chain_single_shuffle"] = (
+        len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    )
+
     # 3. label join broadcasts
     import pandas as pd
 
