@@ -1,0 +1,162 @@
+"""Health-gated measurement runner for degraded-host days.
+
+Round 3 proved this VM has multi-hour windows where the Spark
+syscall/memory path degrades 6-50x while a pure-CPU busy-loop still reads
+healthy (CLAUDE.md forensics). Launching a scaling run inside such a
+window burns hours producing only discarded trials. This runner:
+
+  1. probes the SPARK-path control (the untouched pure-JVM seq_kernels
+     twin over the 480k corpus) in a fresh subprocess session;
+  2. requires two consecutive healthy probes (control < HEALTH_SECS);
+  3. then runs, in order, whatever steps remain in its checklist:
+       bench    — one full bench.py at the 480k corpus (healthy-window
+                  record for the r1..r4 lineage), JSON appended to
+                  BENCH/bench_r4_healthy.jsonl
+       skew     — tools/skew_bench.py (appends to BENCH/BASELINE.md)
+       scaling  — tools/scaling.py at the 4x corpus (1.92M sequences),
+                  SCALING_BENCH_TIMEOUT=7200
+     re-probing health between steps; a failed/degraded step returns to
+     the probe loop and retries on the next healthy window.
+
+Run detached:  nohup python tools/healthy_window_runner.py \
+                   > BENCH/healthy_runner.log 2>&1 &
+State in BENCH/healthy_runner_state.json (steps already done are
+skipped on restart). NEVER run anything else Spark-side while this is
+active — it serializes all measurements itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE = os.path.join(REPO, "BENCH", "healthy_runner_state.json")
+HEALTH_SECS = float(os.environ.get("HEALTH_SECS", "6.0"))
+PROBE_SLEEP = int(os.environ.get("HEALTH_PROBE_SLEEP", "240"))
+MAX_HOURS = float(os.environ.get("HEALTH_MAX_HOURS", "6.0"))
+
+PROBE_CODE = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+from netml_spark.session import get_spark
+from pyspark.sql import functions as F
+from netml_spark.operators import kernels
+spark = get_spark("health-probe", master="local[16]", shuffle_partitions=64)
+seqs = spark.read.parquet(%(repo)r + "/BENCH/sequences_480000")
+def control():
+    out = seqs.select(
+        kernels.pad_truncate(kernels.iat("times"), 63).alias("f1"),
+        kernels.pad_truncate(kernels.iat_size("times", "tokens"), 127).alias("f2"),
+    )
+    return out.agg(F.sum(F.element_at("f1", 1) + F.element_at("f2", 1)).alias("c"))
+control().collect()
+best = None
+for _ in range(2):
+    t0 = time.time(); control().collect(); dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("CONTROL_SECS", round(best, 2))
+spark.stop()
+"""
+
+
+def probe() -> float | None:
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", PROBE_CODE % {"repo": REPO}],
+            capture_output=True, text=True, cwd=REPO, timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith("CONTROL_SECS"):
+            return float(line.split()[1])
+    return None
+
+
+def load_state() -> dict:
+    if os.path.exists(STATE):
+        with open(STATE) as f:
+            return json.load(f)
+    return {"done": []}
+
+
+def save_state(st: dict) -> None:
+    with open(STATE, "w") as f:
+        json.dump(st, f)
+
+
+def run_step(name: str) -> bool:
+    env = dict(os.environ)
+    if name == "bench":
+        r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                           text=True, cwd=REPO, timeout=3600, env=env)
+        lines = r.stdout.strip().splitlines()
+        if r.returncode != 0 or not lines:
+            print(f"bench failed rc={r.returncode}", flush=True)
+            return False
+        with open(os.path.join(REPO, "BENCH", "bench_r4_healthy.jsonl"), "a") as f:
+            f.write(lines[-1] + "\n")
+        print("bench:", lines[-1], flush=True)
+        return True
+    if name == "skew":
+        r = subprocess.run([sys.executable, "tools/skew_bench.py"],
+                           capture_output=True, text=True, cwd=REPO,
+                           timeout=3600, env=env)
+        print("skew rc=", r.returncode, r.stdout.strip().splitlines()[-1:]
+              if r.stdout.strip() else r.stderr.strip().splitlines()[-5:],
+              flush=True)
+        return r.returncode == 0
+    if name == "scaling":
+        env["SPARK_GRAFT_SEQ_DOCS"] = "1920000"
+        env["SCALING_BENCH_TIMEOUT"] = "7200"
+        r = subprocess.run([sys.executable, "tools/scaling.py"],
+                           capture_output=True, text=True, cwd=REPO,
+                           timeout=6 * 3600, env=env)
+        print("scaling stderr tail:", "\n".join(r.stderr.splitlines()[-20:]),
+              flush=True)
+        print("scaling rc=", r.returncode, flush=True)
+        if r.stdout.strip():
+            print("scaling:", r.stdout.strip().splitlines()[-1], flush=True)
+            with open(os.path.join(REPO, "BENCH", "scaling_r4_4x.json"), "w") as f:
+                f.write(r.stdout.strip().splitlines()[-1] + "\n")
+        return r.returncode == 0
+    raise ValueError(name)
+
+
+def main():
+    st = load_state()
+    t_end = time.time() + MAX_HOURS * 3600
+    healthy_streak = 0
+    steps = [s for s in ("bench", "skew", "scaling") if s not in st["done"]]
+    print(f"runner start; pending steps: {steps}", flush=True)
+    while steps and time.time() < t_end:
+        c = probe()
+        stamp = time.strftime("%H:%M:%S")
+        print(f"[{stamp}] control probe: {c} s", flush=True)
+        if c is not None and c < HEALTH_SECS:
+            healthy_streak += 1
+        else:
+            healthy_streak = 0
+        if healthy_streak >= 2:
+            step = steps[0]
+            print(f"[{stamp}] window healthy; running {step}", flush=True)
+            ok = run_step(step)
+            if ok:
+                st["done"].append(step)
+                save_state(st)
+                steps.pop(0)
+                print(f"{step} DONE; remaining {steps}", flush=True)
+            else:
+                print(f"{step} failed/degraded; back to probing", flush=True)
+            healthy_streak = 0
+            continue
+        time.sleep(PROBE_SLEEP)
+    print("runner exit; done:", st["done"], flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,13 +56,16 @@ def run_bench_once(cpus: int) -> dict | None:
     The stderr tail is surfaced: a swallowed subprocess failure cost a
     full 90-minute measurement window in round 3."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    bench_timeout = int(os.environ.get("SCALING_BENCH_TIMEOUT", "3600"))
     try:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=bench_timeout,
         )
     except subprocess.TimeoutExpired:
-        print(f"# bench local[{cpus}] TIMED OUT (3600s)", file=sys.stderr)
+        print(f"# bench local[{cpus}] TIMED OUT ({bench_timeout}s)",
+              file=sys.stderr)
         return None
     lines = out.stdout.strip().splitlines()
     if out.returncode != 0 or not lines:
