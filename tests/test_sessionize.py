@@ -124,3 +124,45 @@ def test_trailing_discard_quirk(spark):
     pdf2 = pdf.assign(ts=[0.0, 1.0, 2.0, 3.0, 4.0])
     got2 = sessionize_timeout(spark.createDataFrame(pdf2), ("doc_id",), "ts", 600.0, 2, ("seq",)).toPandas()
     assert len(got2) == 5
+
+
+def test_subflows_groups_spanning_arrow_batches(spark):
+    """The batched mapInPandas kernel buffers a group that spans an Arrow
+    batch boundary into the next batch. Force pathological batching (5
+    rows per batch, groups of 7+) and pin equality against the same call
+    under default batching."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from netml_spark.operators.sessionize import subflows_interval
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(40):
+        n = int(rng.integers(3, 23))
+        # gaps that straddle the 50s interval so some groups split
+        t = 1_700_000_000.0 + np.cumsum(rng.uniform(1.0, 40.0, n) +
+                                        (rng.random(n) < 0.15) * 100.0)
+        for i, ts in enumerate(t):
+            rows.append((f"e{d:03d}", 0, float(ts), i))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "session_id", "ts", "seq"])
+    df = spark.createDataFrame(pdf)
+
+    def run():
+        out = subflows_interval(df, 50.0, ("doc_id", "session_id"), "ts",
+                                2, ("seq",))
+        return (out.toPandas()
+                .sort_values(["doc_id", "session_id", "ts", "seq"])
+                .reset_index(drop=True))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key)
+    base = run()
+    try:
+        spark.conf.set(key, "5")
+        tiny = run()
+    finally:
+        spark.conf.set(key, default)
+    pd.testing.assert_frame_equal(tiny, base)
+    assert base["subflow_id"].max() >= 1  # splits actually occurred

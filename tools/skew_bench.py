@@ -79,7 +79,7 @@ def ensure_corpus(spark):
 def main():
     from pyspark.sql import functions as F
 
-    from netml_spark.operators.sessionize import sessionize_timeout
+    from netml_spark.operators.sessionize import sessionize
     from netml_spark.operators.skew import bounded_sessionize, salted_agg
     from netml_spark.session import get_spark
 
@@ -88,7 +88,10 @@ def main():
     ev = ensure_corpus(spark)
 
     def q_sessionize_naive():
-        s = sessionize_timeout(ev, ("doc_id",), "ts", GAP, 2, ())
+        # clean gap sessionizer — the SAME semantics class as
+        # bounded_sessionize (neither drops rows), so the comparison is
+        # purely the partitioning strategy
+        s = sessionize(ev, ("doc_id",), "ts", GAP)
         return s.groupBy("doc_id", "session_id").agg(
             F.count(F.lit(1)).alias("n")).agg(
             F.count(F.lit(1)).alias("sessions"), F.sum("n").alias("rows"))
