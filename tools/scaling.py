@@ -114,9 +114,14 @@ def main():
         # degrade Spark's syscall/memory path without degrading a
         # busy-loop. Such a pair is physically tainted regardless of the
         # CPU gate.
+        # Only queries with substantive runtime at N participate: a
+        # sub-second query is dominated by fixed scheduling overhead, so
+        # its 5% slack is tens of milliseconds of pure noise — one such
+        # blip must not taint an otherwise-healthy 20-minute pair.
         monotone = all(
             b["queries"][q] <= a["queries"][q] * 1.05
-            for q in a["queries"] if q in b["queries"]
+            for q in a["queries"]
+            if q in b["queries"] and a["queries"][q] >= 2.0
         )
         # the pre-run calibration only certifies the START of the window;
         # the host's deliverable parallelism drifts DURING runs (observed:
