@@ -38,6 +38,11 @@ STATE = os.path.join(REPO, "BENCH", "healthy_runner_state.json")
 HEALTH_SECS = float(os.environ.get("HEALTH_SECS", "6.0"))
 PROBE_SLEEP = int(os.environ.get("HEALTH_PROBE_SLEEP", "240"))
 MAX_HOURS = float(os.environ.get("HEALTH_MAX_HOURS", "6.0"))
+# consecutive healthy probes required before a step launches. 2 is right
+# for long stable windows; on fast-oscillating days 1 is the only setting
+# that ever fires — the steps' own internal gates (scaling.py calibration,
+# monotonicity, post-pair recalibration) still discard tainted trials.
+HEALTH_STREAK = int(os.environ.get("HEALTH_STREAK", "2"))
 
 PROBE_CODE = r"""
 import sys, time
@@ -141,7 +146,7 @@ def main():
             healthy_streak += 1
         else:
             healthy_streak = 0
-        if healthy_streak >= 2:
+        if healthy_streak >= HEALTH_STREAK:
             step = steps[0]
             print(f"[{stamp}] window healthy; running {step}", flush=True)
             ok = run_step(step)
