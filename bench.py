@@ -185,6 +185,31 @@ def bench_queries(spark):
 # queries whose wall time feeds the sequences/sec north number
 NORTH_QUERIES = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp_udf")
 
+# a per-query control slot above this reads as a degraded host window
+CONTROL_HEALTHY_SECS = float(os.environ.get("BENCH_CONTROL_HEALTHY_SECS", "3.0"))
+
+
+def make_control(spark):
+    """~2 s pure-JVM control (the untouched seq_kernels twin): timed
+    IMMEDIATELY before/after every query so each number carries its own
+    local host-health annotation (r4 verdict item 2 — BENCH_r04 mixed
+    healthy and degraded sub-windows invisibly; a single control slot per
+    run cannot catch the ~5-minute host oscillation)."""
+    from netml_spark.operators import kernels
+
+    seqs = spark.read.parquet(SEQ_PATH)
+
+    def control():
+        out = seqs.select(
+            kernels.pad_truncate(kernels.iat("times"), 63).alias("f1"),
+            kernels.pad_truncate(kernels.iat_size("times", "tokens"), 127).alias("f2"),
+        )
+        return out.agg(
+            F.sum(F.element_at("f1", 1) + F.element_at("f2", 1)).alias("c")
+        )
+
+    return control
+
 
 def main():
     from netml_spark.session import get_spark
@@ -195,12 +220,24 @@ def main():
     qs = bench_queries(spark)
     seqs, _ = ensure_corpus(spark)
     n_seq = seqs.count()
+    control = make_control(spark)
+    control().collect()  # warm the control too
+
+    def time_control():
+        t0 = time.time()
+        control().collect()
+        return round(time.time() - t0, 3)
 
     # warm once (codegen + python worker forks), then take the better of
     # two timed runs — the host shows transient multi-x slowdowns, and a
-    # single unlucky sample misrepresents steady-state throughput
+    # single unlucky sample misrepresents steady-state throughput.
+    # The control fence c_i between queries serves as query i's post-
+    # control AND query i+1's pre-control.
     times = {}
+    controls = {}
+    fence = time_control()
     for name, fn in qs.items():
+        pre = fence
         fn().collect()
         best = None
         for _ in range(2):
@@ -209,7 +246,12 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        fence = time_control()
+        controls[name] = [pre, fence]
     total = round(sum(times.values()), 3)
+    controls_healthy = all(
+        c <= CONTROL_HEALTHY_SECS for pair in controls.values() for c in pair
+    )
     north_secs = sum(times[q] for q in NORTH_QUERIES if q in times)
     result = {
         "metric": "feature-engineering suite wall time (steady-state)",
@@ -218,6 +260,8 @@ def main():
         "queries": times,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
         "cpus": CPUS,
+        "controls": controls,
+        "controls_healthy": controls_healthy,
         "n_sequences": n_seq,
         "sequences_per_sec": round(len(NORTH_QUERIES) * n_seq / north_secs, 1)
         if north_secs > 0

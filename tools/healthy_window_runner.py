@@ -103,6 +103,13 @@ def run_step(name: str) -> bool:
         if r.returncode != 0 or not lines:
             print(f"bench failed rc={r.returncode}", flush=True)
             return False
+        # evidence only from a clean exit AND a parseable JSON line
+        # (ADVICE r4: never record a failed/degraded run's stdout)
+        try:
+            json.loads(lines[-1])
+        except ValueError:
+            print("bench stdout tail is not JSON; discarded", flush=True)
+            return False
         with open(os.path.join(REPO, "BENCH", "bench_r4_healthy.jsonl"), "a") as f:
             f.write(lines[-1] + "\n")
         print("bench:", lines[-1], flush=True)
@@ -126,8 +133,17 @@ def run_step(name: str) -> bool:
         print("scaling rc=", r.returncode, flush=True)
         if r.stdout.strip():
             print("scaling:", r.stdout.strip().splitlines()[-1], flush=True)
+        # evidence only after rc == 0 AND the tail line parses as JSON
+        # (ADVICE r4: a failed run must not overwrite a good result)
+        if r.returncode == 0 and r.stdout.strip():
+            tail = r.stdout.strip().splitlines()[-1]
+            try:
+                json.loads(tail)
+            except ValueError:
+                print("scaling stdout tail is not JSON; discarded", flush=True)
+                return False
             with open(os.path.join(REPO, "BENCH", "scaling_r4_4x.json"), "w") as f:
-                f.write(r.stdout.strip().splitlines()[-1] + "\n")
+                f.write(tail + "\n")
         return r.returncode == 0
     raise ValueError(name)
 
