@@ -185,19 +185,28 @@ def bench_queries(spark):
 # queries whose wall time feeds the sequences/sec north number
 NORTH_QUERIES = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp_udf")
 
-# a per-query control slot above this reads as a degraded host window
-CONTROL_HEALTHY_SECS = float(os.environ.get("BENCH_CONTROL_HEALTHY_SECS", "3.0"))
+# a per-query control slot above this reads as a degraded host window.
+# The default is calibrated for local[16]; at lower parallelism the same
+# fixed-size control legitimately takes ~16/CPUS longer.
+CONTROL_HEALTHY_SECS = float(os.environ.get(
+    "BENCH_CONTROL_HEALTHY_SECS", str(3.0 * max(1.0, 16.0 / CPUS))))
+# the control ALWAYS reads the 480k corpus (even when SEQ_DOCS scales the
+# suite input) so its absolute seconds stay comparable across runs
+CONTROL_SEQ_PATH = os.path.join(_HERE, "BENCH", "sequences_480000")
 
 
 def make_control(spark):
-    """~2 s pure-JVM control (the untouched seq_kernels twin): timed
-    IMMEDIATELY before/after every query so each number carries its own
-    local host-health annotation (r4 verdict item 2 — BENCH_r04 mixed
-    healthy and degraded sub-windows invisibly; a single control slot per
-    run cannot catch the ~5-minute host oscillation)."""
+    """~2 s pure-JVM control (the untouched seq_kernels twin over the
+    fixed 480k corpus): timed IMMEDIATELY before/after every query so
+    each number carries its own local host-health annotation (r4 verdict
+    item 2 — BENCH_r04 mixed healthy and degraded sub-windows invisibly;
+    a single control slot per run cannot catch the ~5-minute host
+    oscillation)."""
     from netml_spark.operators import kernels
 
-    seqs = spark.read.parquet(SEQ_PATH)
+    path = CONTROL_SEQ_PATH if os.path.exists(
+        os.path.join(CONTROL_SEQ_PATH, "_SUCCESS")) else SEQ_PATH
+    seqs = spark.read.parquet(path)
 
     def control():
         out = seqs.select(
