@@ -474,6 +474,25 @@ FROM events GROUP BY user_id ORDER BY doc_id
 """
 
 
+def q_bounded_seqbuild(spark, sf_dir):
+    """Skew-aware ordered collect (skew.py bounded_sequence_build): two
+    stages on (entity, time-bucket) then an order-preserving flatten —
+    EXACTLY equal to events_to_sequences (disjoint buckets, monotone
+    floor, ties share a bucket), so it shares the unbounded build's
+    oracle. The hot entity's history never sorts in one task."""
+    from netml_spark.operators.skew import bounded_sequence_build
+
+    seqs = bounded_sequence_build(
+        _events(spark, sf_dir), ("user_id",), "ts", "event_id",
+        bucket_width=3600.0, order_cols=("event_id",),
+    )
+    return seqs.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.concat_ws(",", F.transform("tokens", lambda x: x.cast("string"))).alias("tokens"),
+        "n_tok",
+    ).orderBy("doc_id")
+
+
 def q_samp_clean(spark, sf_dir):
     """Clean-grid SAMP_NUM (engine variant of parser.py:472-559): per user,
     count events in floor((ts-ts0)/rate) buckets, rate=3600 s."""
@@ -1303,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_arrays": q_iat_arrays,
         "pad_truncate": q_pad_truncate,
         "sequences_build": q_sequences_build,
+        "bounded_seqbuild": q_bounded_seqbuild,
         "samp_clean": q_samp_clean,
         "union_multi_source": q_union_multi_source,
         "top_orders": q_top_orders,
@@ -1341,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         "iat_arrays": SQL_IAT_ARRAYS,
         "pad_truncate": SQL_PAD_TRUNCATE,
         "sequences_build": SQL_SEQUENCES_BUILD,
+        "bounded_seqbuild": SQL_SEQUENCES_BUILD,
         "samp_clean": SQL_SAMP_CLEAN,
         "union_multi_source": SQL_UNION_MULTI_SOURCE,
         "top_orders": SQL_TOP_ORDERS,

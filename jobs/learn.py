@@ -40,7 +40,10 @@ def main(argv=None):
     ap.add_argument("--ts-col", default="ts")
     ap.add_argument("--token-col", default="token")
     ap.add_argument("--order-cols", default="seq")
-    ap.add_argument("--output-model", default=None)
+    # required, as in the reference: `netml learn` refuses to train into
+    # the void (tests/cli_tests/test_learn.py:63-77 — exit 2, "arguments
+    # are required .+: -o/--output/-m/--model")
+    ap.add_argument("-m", "--output-model", required=True)
     args = ap.parse_args(argv)
 
     import numpy as np

@@ -18,6 +18,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class EmptyInputError(ValueError):
+    """Quantile over zero rows (ADVICE r4: a dedicated type so callers —
+    FeaturePlan.extract — catch ONLY the empty-input case, never a future
+    ValueError from a genuinely bad argument). Subclasses ValueError for
+    backward compatibility with round-3 callers."""
+
+
 def exact_quantile(df: DataFrame, col: str | Column, q: float, approx: bool = False,
                    accuracy: int = 10000) -> float:
     c = F.col(col) if isinstance(col, str) else col
@@ -27,7 +34,7 @@ def exact_quantile(df: DataFrame, col: str | Column, q: float, approx: bool = Fa
         expr = F.percentile(c, F.lit(float(q)))
     row = df.agg(expr.alias("q")).collect()[0]
     if row["q"] is None:
-        raise ValueError(
+        raise EmptyInputError(
             "quantile over an empty input — no rows survived the upstream "
             "filters (check flow_pkts_thres / interval / timeout settings)"
         )

@@ -210,6 +210,20 @@ def subflows_interval(
         + [f"`{subflow_col}` int"]
     )
     entity_cols = list(entity_cols)
+    mapper = _make_subflow_mapper(entity_cols, ts_col, interval, thres,
+                                  subflow_col)
+    base = df if assume_partitioned else df.repartition(*entity_cols)
+    ordered = base.sortWithinPartitions(*entity_cols, ts_col, *order_cols)
+    return ordered.mapInPandas(mapper, schema=out_schema)
+
+
+def _make_subflow_mapper(entity_cols, ts_col, interval, thres, subflow_col):
+    """The ``subflows_interval`` batched kernel, factored module-level so
+    the Arrow-batch boundary handling is unit-testable on plain pandas
+    frames (no Spark session). Input contract: frames arrive sorted by
+    (entity..., ts, order...) and each (entity...) group is contiguous
+    across the frame stream (mapInPandas over an entity-partitioned,
+    within-partition-sorted scan)."""
 
     def to_seconds(raw: pd.Series) -> np.ndarray:
         if pd.api.types.is_datetime64_any_dtype(raw):
@@ -222,8 +236,22 @@ def subflows_interval(
         change[0] = True
         for c in entity_cols:
             k = pdf[c].to_numpy()
-            change[1:] |= k[1:] != k[:-1]
+            # null-safe key comparison (ADVICE r4): NaN != NaN is True
+            # elementwise, which would make adjacent null keys singleton
+            # groups — groupBy semantics place all null keys together
+            na = pd.isna(k)
+            diff = np.asarray(k[1:] != k[:-1], dtype=bool)
+            diff &= ~(na[1:] & na[:-1])
+            change[1:] |= diff
         return np.flatnonzero(change)
+
+    def same_group(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+        # null-safe: does b's first row continue a's last group?
+        for c in entity_cols:
+            x, y = a[c].iloc[-1], b[c].iloc[0]
+            if x != y and not (pd.isna(x) and pd.isna(y)):
+                return False
+        return True
 
     def process(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
         n = len(pdf)
@@ -269,24 +297,41 @@ def subflows_interval(
         return out
 
     def mapper(batches):
-        buf = None
+        # A group spanning Arrow batch boundaries is held as a LIST of
+        # frames and concatenated ONCE when it closes: a mega-group of m
+        # rows spanning k batches costs O(m) row copies, not the O(m·k)
+        # of re-concat-per-batch (r4 verdict item 4).
+        buf: list = []  # in-order frames of ONE (incomplete) group
+        one = np.zeros(1, dtype=np.int64)
+
+        def flush():
+            grp = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            return process(grp, one)
+
         for pdf in batches:
-            if buf is not None:
-                pdf = pd.concat([buf, pdf], ignore_index=True)
-                buf = None
             if len(pdf) == 0:
                 continue
             starts = group_starts_of(pdf)
+            if buf and not same_group(buf[-1], pdf):
+                yield flush()
+                buf = []
             if len(starts) == 1:
-                buf = pdf  # one group spans the whole batch so far
+                buf.append(pdf)  # one group spans the whole batch so far
                 continue
+            if buf:
+                # first group of this batch closes the held group
+                cut = int(starts[1])
+                buf.append(pdf.iloc[:cut])
+                yield flush()
+                buf = []
+                pdf = pdf.iloc[cut:].reset_index(drop=True)
+                starts = starts[1:] - cut
             # hold back the (possibly incomplete) last group
-            last = starts[-1]
-            buf = pdf.iloc[last:].reset_index(drop=True)
-            yield process(pdf.iloc[:last], starts[:-1])
-        if buf is not None and len(buf):
-            yield process(buf, group_starts_of(buf))
+            last = int(starts[-1])
+            buf = [pdf.iloc[last:].reset_index(drop=True)]
+            if last:
+                yield process(pdf.iloc[:last], starts[:-1])
+        if buf:
+            yield flush()
 
-    base = df if assume_partitioned else df.repartition(*entity_cols)
-    ordered = base.sortWithinPartitions(*entity_cols, ts_col, *order_cols)
-    return ordered.mapInPandas(mapper, schema=out_schema)
+    return mapper

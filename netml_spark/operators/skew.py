@@ -1,14 +1,23 @@
 """Skew handling for heavy-hitter keys (SURVEY.md §4.2).
 
-AQE's skew-join splitting covers joins, but NOT window / grouped-map
-passes — a single giant entity still lands on one task. Two engine tools:
+AQE's skew-join splitting covers joins, but NOT window / grouped-map /
+ordered-collect passes — a single giant entity still lands on one task.
+What the measurements say (BENCH/BASELINE.md skew tables): pick the
+remedy by the PASS CLASS that actually serializes, detected with
+``heavy_hitters``:
 
-- ``salted_agg``: two-stage aggregation for algebraic aggregates over a
-  skewed key: stage 1 groups on (key, salt) computing partials (map-side
-  parallelism across the heavy key), stage 2 merges partials per key.
-  Supported partials: count / sum / min / max / and mean via (sum, count).
+- window/sort passes (sessionize)      -> ``bounded_sessionize`` (3.7x
+  over the naive window sort on the 16M heavy-hitter corpus)
+- ordered collects (sequence build)    -> ``bounded_sequence_build``
+  (exact two-stage time-bucket merge; the hot entity's history never
+  sorts in one task)
+- algebraic aggregates                 -> the NAIVE plan: hash-agg
+  map-side partials already absorb the skew (salted_agg measured
+  0.46-0.58x — slower — on that corpus); reach for ``salted_agg`` only
+  when the final per-key group state itself blows up AND the partials
+  are mergeable.
 - ``heavy_hitters``: cheap approximate heavy-key detector (sample + count)
-  used to decide when salting is worth the extra shuffle.
+  used to decide when a skew-aware plan is worth the extra shuffle.
 
 Sessionization itself cannot be salted without breaking gap semantics
 across salt boundaries (a session may span salts); the engine's stance for
@@ -104,6 +113,141 @@ def salted_agg(
     if "max" in aggs:
         out_cols.append(F.col("_max").alias(f"max_{value_col}"))
     return merged.select(*out_cols)
+
+
+def sessionize_auto(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    gap: float,
+    bucket_width: float | None = None,
+    threshold_rows: int = 5_000_000,
+    fraction: float = 0.001,
+    order_cols: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """``heavy_hitters``-gated sessionizer — the documented auto-selector
+    (r4 verdict): ONE tiny sample job decides the plan. No heavy key ->
+    the exact window sessionizer; any entity estimated above
+    ``threshold_rows`` -> ``bounded_sessionize`` (bucket_width defaults
+    to 1000x gap, so ~0.1% of the hot entity's sessions split at bucket
+    boundaries — the documented approximation, taken only when the exact
+    plan would serialize one task on the hot entity's sort).
+
+    The session id is a STRING on both paths (the bounded path's ids are
+    bucket-qualified) so the output schema does not depend on the data.
+    The sample job is a deliberate plan-time action, same class as the
+    two-pass quantile scalars (SURVEY.md §3.1)."""
+    from netml_spark.operators.sessionize import sessionize
+
+    hot = heavy_hitters(df, entity_cols, threshold_rows=threshold_rows,
+                        fraction=fraction).limit(1).count()
+    if hot:
+        width = float(bucket_width) if bucket_width else 1000.0 * float(gap)
+        return bounded_sessionize(df, entity_cols, ts_col, gap, width,
+                                  order_cols, session_col)
+    out = sessionize(df, entity_cols, ts_col, gap, order_cols=order_cols,
+                     session_col=session_col)
+    return out.withColumn(session_col, F.col(session_col).cast("string"))
+
+
+def bounded_sequence_build(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    token_col: str,
+    bucket_width: float,
+    order_cols: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-aware twin of ``events_to_sequences`` for heavy-hitter
+    entities — the collect-class remedy the r4 skew measurements called
+    for (algebraic aggregates never needed salting; ORDERED COLLECTS do):
+    ``sort_array(collect_list(...))`` per entity concatenates and sorts
+    the hot entity's WHOLE history in one task's aggregation buffer.
+
+    Two stages, EXACTLY equal to the unbounded build (no approximation,
+    unlike ``bounded_sessionize``):
+
+      1. group on ``(entity, floor(ts / bucket_width))`` — the hot key
+         spreads across buckets; each task sorts one bucket's slice;
+      2. group on ``entity`` and merge with
+         ``flatten(sort_array(collect_list(struct(bucket, slice))))["_l"]``
+         — buckets are disjoint, ``floor`` is monotone in ts, and equal
+         timestamps share a bucket, so concatenating the pre-sorted
+         slices in bucket order IS the globally (ts, order...)-sorted
+         sequence; the merge task copies arrays, it never re-compares
+         elements.
+
+    Output schema matches ``events_to_sequences``:
+    ``(entity..., times:array<double>, tokens:array<int>, n_tok:int,
+    carry...)``."""
+    from netml_spark.util import ts_seconds
+
+    entity_cols = list(entity_cols)
+    ts_d = ts_seconds(df, ts_col)
+    bucket = F.floor(ts_d / F.lit(float(bucket_width))).cast("long")
+    packed = F.struct(
+        ts_d.alias("_t"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(token_col).cast("int").alias("_tok"),
+    )
+    part = (
+        df.withColumn("_bucket", bucket)
+        .groupBy(*entity_cols, "_bucket")
+        .agg(
+            F.sort_array(F.collect_list(packed)).alias("_p"),
+            *[F.first(c).alias(c) for c in carry_cols],
+        )
+    )
+    merged = part.groupBy(*entity_cols).agg(
+        F.flatten(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_bucket").alias("_b"),
+                                        F.col("_p").alias("_l")))
+            )["_l"]
+        ).alias("_p"),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
+    return merged.select(
+        *entity_cols,
+        F.col("_p._t").alias("times"),
+        F.col("_p._tok").alias("tokens"),
+        F.size("_p").cast("int").alias("n_tok"),
+        *carry_cols,
+    )
+
+
+def sequence_build_auto(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    token_col: str,
+    bucket_width: float = 3600.0,
+    threshold_rows: int = 5_000_000,
+    fraction: float = 0.001,
+    order_cols: Sequence[str] = (),
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """``heavy_hitters``-gated ordered collect — the collect-class twin of
+    ``sessionize_auto``. Unlike the sessionize selector, BOTH paths here
+    are exact and schema-identical, so the gate trades only plan shape:
+    no heavy key -> the one-shuffle ``events_to_sequences``; any entity
+    estimated above ``threshold_rows`` -> ``bounded_sequence_build``'s
+    two-stage time-bucket merge, which costs a second (tiny, one row per
+    (entity, bucket)) shuffle but never sorts a hot entity's whole
+    history in one task's aggregation buffer. ONE sample job decides —
+    the same deliberate plan-time action class as the two-pass quantile
+    scalars (SURVEY.md §3.1)."""
+    from netml_spark.operators.sequences import events_to_sequences
+
+    hot = heavy_hitters(df, entity_cols, threshold_rows=threshold_rows,
+                        fraction=fraction).limit(1).count()
+    if hot:
+        return bounded_sequence_build(df, entity_cols, ts_col, token_col,
+                                      bucket_width, order_cols, carry_cols)
+    return events_to_sequences(df, entity_cols, ts_col, token_col,
+                               order_cols, carry_cols)
 
 
 def bounded_sessionize(

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from netml_spark.operators import kernels
-from netml_spark.operators.quantile import dim_from_counts, exact_quantile
+from netml_spark.operators.quantile import (
+    EmptyInputError, dim_from_counts, exact_quantile,
+)
 from netml_spark.operators.sequences import events_to_sequences
 from netml_spark.operators.sessionize import sessionize_timeout, subflows_interval
 from netml_spark.operators.stats import stats_vector
@@ -51,6 +53,17 @@ class FeaturePlan:
     split_interval: float | None = field(default=None, init=False)
     sampling_rate: float | None = field(default=None, init=False)
     empty_input: bool = field(default=False, init=False)  # placeholders used
+    # the stage-4 sequences cache from the LAST extract() (r4 verdict item
+    # 5: the cache must be releasable — call release() once the features
+    # frame has been materialized; a repeated extract() on the same plan
+    # releases the previous cache automatically)
+    _cached_seqs: DataFrame | None = field(default=None, init=False, repr=False)
+
+    def release(self) -> None:
+        """Unpersist the sequences cache held from the last extract()."""
+        if self._cached_seqs is not None:
+            self._cached_seqs.unpersist()
+            self._cached_seqs = None
 
     def extract(
         self,
@@ -97,7 +110,7 @@ class FeaturePlan:
                 self.split_interval = exact_quantile(
                     durations, "duration", self.q_interval, approx=self.approx_quantiles
                 )
-            except ValueError:  # empty input: placeholder, zero rows flow on
+            except EmptyInputError:  # placeholder, zero rows flow on
                 self.empty_input = True
                 self.split_interval = 1.0
 
@@ -112,15 +125,17 @@ class FeaturePlan:
 
         # stage 4: one row per flow with ordered series
         extra = [header_cols[0], header_cols[1], header_cols[2]] if self.header else []
+        self.release()  # repeated extracts must not accumulate caches
         seqs = events_to_sequences(
             subs, flow_keys, ts_col, token_col, order_cols, carry_cols,
             extra_series=extra,
         ).cache()
+        self._cached_seqs = seqs
 
         # stage 5: dim (pass-2 quantile barrier, parser.py:783-785)
         try:
             dim = dim_from_counts(seqs, "n_tok", self.q_interval, approx=self.approx_quantiles)
-        except ValueError:
+        except EmptyInputError:
             # empty input surfaces here when interval>0 skipped stage 2;
             # dim=2 keeps every slice/pad length positive (zero rows, so
             # the kernels never evaluate — only the schema matters)

@@ -84,8 +84,21 @@ def stateful_flow_eviction(
         ]
     )
     cols = [f.name for f in out_schema.fields]
-    max_age_s = float(max_age)
-    idle_s = float(idle_timeout)
+    track = _make_flow_tracker(cols, float(max_age), float(idle_timeout))
+
+    return (
+        events.groupBy(*entity_cols)
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
+def _make_flow_tracker(cols, max_age_s: float, idle_s: float):
+    """The per-key stateful kernel, factored module-level so the
+    batch/state interplay (late-data clamp, carried-flow closes, age
+    crossings) is unit-testable against a fake GroupState — the streaming
+    e2e tests stay, this pins the corner cases cheaply."""
     idle_ms = int(idle_s * 1000)
 
     def track(key, pdfs, state):
@@ -107,24 +120,42 @@ def stateful_flow_eviction(
             n, start, last = int(n), float(start), float(last)
         else:
             n, start, last = 0, 0.0, 0.0
-        # LATE-DATA CLAMP (ADVICE r3): a late micro-batch whose events all
-        # precede the carried flow's last timestamp must not rewind `last`
-        # — the carried last stays the flow's true maximum until the flow
-        # it belongs to closes (first close/restart resets the clamp; flows
-        # opened INSIDE this batch contain no carried packets).
-        carried_last = last if n else 0.0
         # the carried flow restarts if the gap to the batch head exceeds
         # the idle timeout (the same per-packet test the scan below does)
         if n and t[0] - last > idle_s:
             rows.append((*key, n, start, last, "idle"))
-            n, carried_last = 0, 0.0
-        # segment the sorted batch at intra-batch idle gaps — each gap is a
-        # per-packet TIMEOUT restart in the reference, not a state merge
+            n = 0
+        if n:
+            # LATE-DATA CLAMP (ADVICE r3+r4): while the carried flow is
+            # open its gap tests compare against the flow's TRUE maximum
+            # (carried last vs running batch prefix max), not batch-local
+            # diffs — so a late event sharing a micro-batch with an
+            # on-time one cannot manufacture a spurious idle split. Once
+            # the carried flow closes, eff degrades to the plain previous
+            # event (t sorted ⇒ prefix max == previous), and flows opened
+            # inside this batch use plain diffs below.
+            eff = np.maximum(last, np.maximum.accumulate(t))
+            gaps = np.flatnonzero(t[1:] - eff[:-1] > idle_s) + 1
+            stop = int(gaps[0]) if gaps.size else len(t)
+            j = int(np.searchsorted(t[:stop], start + max_age_s, side="right"))
+            if j < stop:
+                # age crossing comes first; the crossing event is absorbed
+                rows.append((*key, n + j + 1, start, float(eff[j]), "max_age"))
+                n, t = 0, t[j + 1:]
+            elif stop < len(t):
+                rows.append((*key, n + stop, start, float(eff[stop - 1]), "idle"))
+                n, t = 0, t[stop:]
+            else:
+                n, last = n + len(t), float(eff[-1])
+                t = t[:0]
+        # segment the rest of the sorted batch at intra-batch idle gaps —
+        # each gap is a per-packet TIMEOUT restart in the reference, not a
+        # state merge (flows opened here contain no carried packets)
         bounds = np.flatnonzero(np.diff(t) > idle_s) + 1
         for si, seg in enumerate(np.split(t, bounds)):
             if si > 0 and n:
-                rows.append((*key, n, start, max(last, carried_last), "idle"))
-                n, carried_last = 0, 0.0
+                rows.append((*key, n, start, last, "idle"))
+                n = 0
             i = 0
             while i < len(seg):
                 if n == 0:
@@ -140,11 +171,10 @@ def stateful_flow_eviction(
                     break
                 n += j - i + 1
                 last = float(seg[j])
-                rows.append((*key, n, start, max(last, carried_last), "max_age"))
-                n, carried_last = 0, 0.0
+                rows.append((*key, n, start, last, "max_age"))
+                n = 0
                 i = j + 1
         if n:
-            last = max(last, carried_last)
             state.update((int(n), float(start), float(last)))
             # idle eviction rides the watermark clock; the timeout
             # timestamp must sit above the current watermark
@@ -154,9 +184,4 @@ def stateful_flow_eviction(
             state.remove()
         yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        events.groupBy(*entity_cols)
-        .applyInPandasWithState(
-            track, out_schema, state_schema, "append", "EventTimeTimeout"
-        )
-    )
+    return track

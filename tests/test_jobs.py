@@ -23,6 +23,36 @@ def model_path(tmp_path_factory):
     return p
 
 
+def test_cli_argument_validation_surface(capsys):
+    """The reference CLI's argument-validation contract
+    (/root/reference/tests/cli_tests/test_learn.py:32-77): a missing
+    required argument exits code 2 with an 'arguments are required'
+    stderr naming the flag. No Spark session is ever built for a bad
+    invocation."""
+    import jobs.classify as classify
+    import jobs.extract_features as ef
+    import jobs.learn as learn
+
+    cases = [
+        # extract requires an input (reference: -p/--pcap) and an output
+        # (reference: -f/--feature)
+        (ef.main, ["--output", "/tmp/x"], r"arguments are required.*--input"),
+        (ef.main, ["--input", "/tmp/x"], r"arguments are required.*--output"),
+        # train requires a model output (reference: -o/--output/-m/--model)
+        (learn.main, ["--inputs", "/tmp/x"],
+         r"arguments are required.*-m/--output-model"),
+        # classify requires the trained model
+        (classify.main, ["--input", "/tmp/x"],
+         r"arguments are required.*--model"),
+    ]
+    for fn, argv, pattern in cases:
+        with pytest.raises(SystemExit) as exc:
+            fn(argv)
+        assert exc.value.code == 2, (fn.__module__, argv)
+        err = capsys.readouterr().err
+        assert re.search(pattern, err), (fn.__module__, argv, err)
+
+
 def test_classify_distributed_scoring_parity(spark, tmp_path, capsys, model_path):
     import jobs.classify as classify
 

@@ -101,3 +101,42 @@ def test_featureplan_empty_input_is_a_value(spark, token_events_df):
     plan = FeaturePlan(feat_type="IAT")
     out = plan.extract(token_events_df, ("doc_id",), "ts", "token", ("seq",))
     assert not plan.empty_input and out.count() > 0
+
+
+def test_featureplan_release_unpersists_cache(spark, token_events_df):
+    """r4 verdict item 5: extract()'s stage-4 sequences cache is released
+    by plan.release(); a repeated extract() on the same plan releases the
+    previous cache automatically — no accumulation across extracts."""
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    plan = FeaturePlan(feat_type="IAT")
+    out = plan.extract(token_events_df, ("doc_id",), "ts", "token", ("seq",))
+    assert out.count() > 0
+    assert n_cached() == base + 1
+    # re-extract on the same plan: previous cache released first
+    out2 = plan.extract(token_events_df, ("doc_id",), "ts", "token", ("seq",))
+    assert out2.count() > 0
+    assert n_cached() == base + 1
+    plan.release()
+    assert n_cached() == base
+    plan.release()  # idempotent
+
+
+def test_empty_input_error_is_distinct(spark):
+    """ADVICE r4: only the empty-input case is caught by FeaturePlan —
+    a genuinely bad argument (here: an aggregate of a missing column)
+    must NOT be swallowed as empty input."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from netml_spark.operators.quantile import EmptyInputError, exact_quantile
+
+    df = spark.range(0).selectExpr("cast(id as double) as duration")
+    with pytest.raises(EmptyInputError):
+        exact_quantile(df, "duration", 0.9)
+    with pytest.raises(AnalysisException):
+        exact_quantile(df, "no_such_column", 0.9)

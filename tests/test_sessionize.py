@@ -166,3 +166,110 @@ def test_subflows_groups_spanning_arrow_batches(spark):
         spark.conf.set(key, default)
     pd.testing.assert_frame_equal(tiny, base)
     assert base["subflow_id"].max() >= 1  # splits actually occurred
+
+
+def test_subflow_mapper_batch_boundary_invariance():
+    """Pure-pandas (no Spark): _make_subflow_mapper must produce the SAME
+    rows no matter how the sorted partition stream is chopped into Arrow
+    batches — including batch sizes of 1, groups spanning dozens of
+    batches, and NaN entity keys (null-safe grouping, ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+
+    from netml_spark.operators.sessionize import _make_subflow_mapper
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for gi, d in enumerate([float("nan")] + list(range(12))):
+        n = int(rng.integers(1, 60)) if gi != 3 else 400  # one mega-group
+        t = 1000.0 * gi + np.cumsum(rng.uniform(0.5, 20.0, n)
+                                    + (rng.random(n) < 0.2) * 100.0)
+        for i, ts in enumerate(t):
+            rows.append((d, 0, float(ts), i))
+    pdf = (pd.DataFrame(rows, columns=["doc_id", "session_id", "ts", "seq"])
+           .sort_values(["doc_id", "session_id", "ts", "seq"], na_position="first")
+           .reset_index(drop=True))
+
+    def run(batch_size):
+        mapper = _make_subflow_mapper(["doc_id", "session_id"], "ts",
+                                      50.0, 2, "subflow_id")
+        chunks = [pdf.iloc[i:i + batch_size].reset_index(drop=True)
+                  for i in range(0, len(pdf), batch_size)]
+        outs = [o for o in mapper(iter(chunks)) if len(o)]
+        out = pd.concat(outs, ignore_index=True)
+        return (out.sort_values(["doc_id", "session_id", "ts", "seq"],
+                                na_position="first")
+                .reset_index(drop=True))
+
+    base = run(len(pdf))  # single batch: the trusted DuckDB-gated path
+    assert len(base) > 0 and base["subflow_id"].max() >= 1
+    assert base["doc_id"].isna().any()  # NaN group survived the filter
+    for bs in (1, 3, 7, 64):
+        pd.testing.assert_frame_equal(run(bs), base)
+
+
+def test_subflows_mega_group_spanning_many_batches(spark):
+    """r4 verdict item 4: one mega-group spanning >=50 tiny Arrow batches
+    must be buffered as a LIST and concatenated once (the old per-batch
+    pd.concat re-copied the whole buffer per batch, O(m*k)); equality vs
+    default batching pins the rework."""
+    import numpy as np
+    import pandas as pd
+
+    from netml_spark.operators.sessionize import subflows_interval
+
+    rng = np.random.default_rng(11)
+    n = 400  # 400 rows / 5-row batches = 80 batches for ONE group
+    t = 1_700_000_000.0 + np.cumsum(rng.uniform(1.0, 40.0, n) +
+                                    (rng.random(n) < 0.1) * 100.0)
+    rows = [("mega", 0, float(ts), i) for i, ts in enumerate(t)]
+    # neighbors before and after so the mega group has batch-mates
+    rows = [("aaa", 0, 1_700_000_000.0 + i, i) for i in range(4)] + rows
+    rows += [("zzz", 0, 1_700_000_000.0 + i, i) for i in range(4)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "session_id", "ts", "seq"])
+    df = spark.createDataFrame(pdf).coalesce(1)
+
+    def run():
+        out = subflows_interval(df, 50.0, ("doc_id", "session_id"), "ts",
+                                2, ("seq",))
+        return (out.toPandas()
+                .sort_values(["doc_id", "session_id", "ts", "seq"])
+                .reset_index(drop=True))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = spark.conf.get(key)
+    base = run()
+    try:
+        spark.conf.set(key, "5")
+        tiny = run()
+    finally:
+        spark.conf.set(key, default)
+    pd.testing.assert_frame_equal(tiny, base)
+    assert (base["doc_id"] == "mega").sum() > 300
+
+
+def test_subflows_null_keys_one_group(spark):
+    """ADVICE r4: adjacent null entity keys must form ONE group (groupBy
+    semantics), not per-row singletons via NaN != NaN."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from netml_spark.operators.sessionize import subflows_interval
+
+    schema = StructType([
+        StructField("doc_id", DoubleType()),   # float key -> null is NaN
+        StructField("session_id", LongType()),
+        StructField("ts", DoubleType()),
+        StructField("seq", LongType()),
+    ])
+    rows = ([(None, 0, 1_700_000_000.0 + i, i) for i in range(5)]
+            + [(1.0, 0, 1_700_000_000.0 + i, i) for i in range(5)])
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    out = (subflows_interval(df, 1000.0, ("doc_id", "session_id"), "ts",
+                             3, ("seq",))
+           .toPandas())
+    # both 5-row groups survive the >=3 min-size filter intact; with the
+    # NaN bug the null rows would be singletons and all dropped
+    assert len(out) == 10
+    assert out["doc_id"].isna().sum() == 5

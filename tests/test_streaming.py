@@ -100,6 +100,185 @@ def test_stream_features_job_e2e(spark, tmp_path, event_pdf):
     assert len(again) == len(got)
 
 
+def test_stream_features_job_streamed_start_e2e(spark, tmp_path, event_pdf):
+    """r4 verdict item 8: the continuous-job shape — the stream STARTS
+    (with --schema) against an empty landing dir, files land afterwards in
+    two micro-batches (a session spans the file split), and the sink
+    matches the batch twin exactly-once."""
+    import argparse
+    import time
+
+    import jobs.stream_features as sf
+
+    src = tmp_path / "landing_cont"
+    src.mkdir()  # provisioned, EMPTY — no files landed yet
+    out = str(tmp_path / "sink_cont")
+    ckpt = str(tmp_path / "ckpt_cont")
+    ns = argparse.Namespace(
+        input=str(src), output=out, checkpoint=ckpt, mode="sessions",
+        schema="doc_id string, ts double, token bigint",
+        entity_cols="doc_id", ts_col="ts", token_col="token",
+        gap="600 seconds", watermark="2 hours", max_age=3600.0,
+        idle_timeout=600.0, available_now=False,
+        trigger_interval="1 seconds", max_files_per_trigger=None,
+        timeout_s=None,
+    )
+    q = sf.build_query(spark, ns).start()
+    try:
+        deadline = time.time() + 180
+        # micro-batch 1: first half (sessions split across the file edge)
+        half = len(event_pdf) // 2
+        (spark.createDataFrame(event_pdf.iloc[:half]).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        while time.time() < deadline and not (
+            q.lastProgress and q.lastProgress["numInputRows"] > 0
+        ):
+            time.sleep(1)
+        # micro-batch 2: the rest + a far-future row that pushes the
+        # watermark past every session's close
+        rest = pd.concat([
+            event_pdf.iloc[half:],
+            pd.DataFrame({"doc_id": ["zz"], "ts": [1_700_100_000.0],
+                          "token": [1]}),
+        ])
+        (spark.createDataFrame(rest).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+        def sink_rows():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        batch = streaming_session_stats(
+            spark.createDataFrame(
+                pd.concat([event_pdf.iloc[:half], rest])
+            )
+        ).toPandas()
+        want = len(batch) - 1  # zz's own session never passes the watermark
+        while time.time() < deadline and sink_rows() < want:
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    got = spark.read.parquet(out).toPandas()
+    key = ["doc_id", "session_start"]
+    assert len(got) >= want > 0
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "sink row the batch twin doesn't have"
+    assert got.duplicated(key).sum() == 0, "duplicate session emitted"
+    for c in ["num_pkts", "num_bytes", "duration"]:
+        np.testing.assert_allclose(merged[f"{c}_s"], merged[f"{c}_b"])
+
+    # exactly-once: a drain over the SAME checkpoint sees no new files
+    ns.available_now = True
+    q2 = sf.build_query(spark, ns).start()
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out).toPandas()
+    assert len(again) == len(got)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _make_flow_tracker."""
+
+    def __init__(self, value=None, timed_out=False, watermark_ms=0):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def _drive(tracker, batches, state):
+    """Feed event-time batches (lists of floats) through the kernel,
+    returning all emitted rows."""
+    rows = []
+    for b in batches:
+        pdfs = [pd.DataFrame({"_evt_sec": np.asarray(b, dtype=np.float64)})]
+        for out in tracker(("K",), iter(pdfs), state):
+            rows.extend(out.to_dict("records"))
+    return rows
+
+
+def test_flow_tracker_kernel_corner_cases():
+    """Pure-python (no Spark): the eviction kernel's carried-state logic —
+    the r4 ADVICE late+on-time-share-a-batch clamp, flow-max gap tests,
+    age crossings inside the carried continuation, and the plain-diff
+    fallback after the carried flow closes."""
+    from netml_spark.streaming.eviction import _make_flow_tracker
+
+    cols = ["doc_id", "n_pkts", "start_ts", "last_ts", "reason"]
+    T = 1_700_000_000.0
+
+    def fresh():
+        return _make_flow_tracker(cols, 3600.0, 600.0), _FakeState()
+
+    # 1. late + on-time sharing one batch: batch-local gap 640 > 600 but
+    #    gap vs flow max (T+100) is 590 — NO split, state carries 4 pkts
+    tr, st = fresh()
+    rows = _drive(tr, [[T, T + 100], [T + 50, T + 690]], st)
+    assert rows == [] and st.get == (4, T, T + 690.0)
+
+    # 2. r3 case: late batch alone must not rewind last
+    tr, st = fresh()
+    rows = _drive(tr, [[T, T + 100], [T + 50], [T + 690]], st)
+    assert rows == [] and st.get == (4, T, T + 690.0)
+
+    # 3. carried flow closes idle at a flow-max gap; remainder is plain
+    tr, st = fresh()
+    rows = _drive(tr, [[T], [T + 700, T + 1000, T + 1700]], st)
+    assert [(r["n_pkts"], r["start_ts"], r["last_ts"], r["reason"])
+            for r in rows] == [(1, T, T, "idle"), (2, T + 700, T + 1000, "idle")]
+    assert st.get == (1, T + 1700.0, T + 1700.0)
+
+    # 4. age crossing INSIDE the carried continuation: the carried flow
+    #    (8 events, 500 s gaps, age 3500) receives a late event (T+3450,
+    #    below the flow max) and a crossing one (T+3601): the crossing is
+    #    absorbed and the flow closes max_age with n=10
+    tr, st = fresh()
+    rows = _drive(tr, [[T + 500.0 * i for i in range(8)],
+                       [T + 3450, T + 3601]], st)
+    assert [(r["n_pkts"], r["start_ts"], r["last_ts"], r["reason"])
+            for r in rows] == [(10, T, T + 3601.0, "max_age")]
+    assert st.get is None
+
+    # 5. watermark timeout emits the idle close with the carried span
+    tr, st = fresh()
+    _drive(tr, [[T, T + 10]], st)
+    st.hasTimedOut = True
+    out = list(tr(("K",), iter([]), st))[0]
+    assert out.to_dict("records") == [
+        {"doc_id": "K", "n_pkts": 2, "start_ts": T, "last_ts": T + 10.0,
+         "reason": "idle"}]
+    assert st.get is None
+
+    # 6. timeout timestamp rides max(last + idle, watermark + 1)
+    tr, st = fresh()
+    st._wm = int((T + 10_000) * 1000)
+    _drive(tr, [[T, T + 10]], st)
+    assert st.timeout_ts == int((T + 10_000) * 1000) + 1
+
+
 def test_stateful_eviction_max_age_and_idle(spark, tmp_path):
     """applyInPandasWithState twin of the capture buffer
     (capture_pkts.py:100-126): a flow whose age crosses max_age closes
@@ -224,6 +403,108 @@ def test_stateful_eviction_late_batch_keeps_last_monotone(spark, tmp_path):
     assert int(e.n_pkts.iloc[0]) == 4
     assert float(e.start_ts.iloc[0]) == t0
     assert float(e.last_ts.iloc[0]) == t0 + 690.0
+
+
+def test_stateful_eviction_late_and_ontime_share_batch(spark, tmp_path):
+    """ADVICE r4: the r3 clamp covered a late batch arriving ALONE; when a
+    late and an on-time event share one micro-batch, the batch-local
+    np.diff gap (640 s) must not split a flow whose true gap vs the flow
+    maximum is 590 s <= idle_timeout."""
+    from netml_spark.streaming.eviction import stateful_flow_eviction
+
+    t0 = 1_700_000_000.0
+    batches = [
+        # batch 1: E up to t0+100 (state.last = t0+100)
+        pd.DataFrame({"doc_id": ["E", "E"], "ts": [t0, t0 + 100.0], "token": [0, 1]}),
+        # batch 2: ONE micro-batch holding a late event (t0+50) AND an
+        # on-time one (t0+690): batch-local gap 640 > 600, true gap vs
+        # the flow max (t0+100) is 590 <= 600 — must merge, not split
+        pd.DataFrame({"doc_id": ["E", "E"], "ts": [t0 + 50.0, t0 + 690.0], "token": [2, 3]}),
+        # batch 3: far-future entity pushes the watermark past E's idle
+        # deadline so the (single, merged) flow closes
+        pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [9]}),
+    ]
+    src = str(tmp_path / "late_share_src")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b).coalesce(1).write.mode(mode).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(batches[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_flow_eviction(
+        stream, ("doc_id",), "ts", max_age=3600.0, idle_timeout=600.0,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_share_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from late_share_stream").toPandas()
+    e = got[got.doc_id == "E"]
+    assert list(e.reason) == ["idle"]
+    assert int(e.n_pkts.iloc[0]) == 4
+    assert float(e.start_ts.iloc[0]) == t0
+    assert float(e.last_ts.iloc[0]) == t0 + 690.0
+
+
+def test_stateful_eviction_carried_close_then_plain_gaps(spark, tmp_path):
+    """Once the carried flow closes inside a batch, LATER events in the
+    same batch use plain batch-local gap tests (new flows contain no
+    carried packets), even when the carried maximum still dominates."""
+    from netml_spark.streaming.eviction import stateful_flow_eviction
+
+    t0 = 1_700_000_000.0
+    batches = [
+        # batch 1: F at t0 (state: n=1, last=t0)
+        pd.DataFrame({"doc_id": ["F"], "ts": [t0], "token": [0]}),
+        # batch 2: t0+700 closes the carried flow (gap 700 > 600); then
+        # [t0+700, t0+1000, t0+1700] — the 700 s batch-local gap splits
+        # the NEW flow even though both sit under t0+700+idle
+        pd.DataFrame({
+            "doc_id": ["F"] * 3,
+            "ts": [t0 + 700.0, t0 + 1000.0, t0 + 1700.0],
+            "token": [1, 2, 3],
+        }),
+        pd.DataFrame({"doc_id": ["C"], "ts": [t0 + 100_000.0], "token": [9]}),
+    ]
+    src = str(tmp_path / "carried_close_src")
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        spark.createDataFrame(b).coalesce(1).write.mode(mode).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(batches[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_flow_eviction(
+        stream, ("doc_id",), "ts", max_age=3600.0, idle_timeout=600.0,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("carried_close_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from carried_close_stream").toPandas()
+    f = got[got.doc_id == "F"].sort_values("start_ts")
+    # carried single-packet flow closes idle at the head; the new
+    # [700,1000] flow closes idle at the intra-batch 700 s gap; the
+    # trailing [1700] flow closes on the watermark
+    assert list(f.reason) == ["idle", "idle", "idle"]
+    assert list(f.n_pkts) == [1, 2, 1]
+    assert list(f.start_ts) == [t0, t0 + 700.0, t0 + 1700.0]
+    assert list(f.last_ts) == [t0, t0 + 1000.0, t0 + 1700.0]
 
 
 def test_stream_features_job_starts_before_first_file(spark, tmp_path):

@@ -108,6 +108,21 @@ def main():
     results["kernels_map_side_partial"] = "partial_collect_list" in p
     results["kernels_single_shuffle"] = len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
+    # 5b. bounded_sequence_build (skew-aware ordered collect): exactly two
+    # exchanges — (entity, time-bucket) for the parallel per-bucket sorts,
+    # then (entity) for the order-preserving flatten — with map-side
+    # partial collects before each, and no Python anywhere.
+    from netml_spark.operators.skew import bounded_sequence_build
+
+    bseq = bounded_sequence_build(ev, ("user_id",), "ts", "event_id", 3600.0,
+                                  order_cols=("event_id",))
+    p = plan_str(bseq)
+    results["bounded_seqbuild_two_stage"] = (
+        len(re.findall(r"\(\d+\) Exchange", p)) == 2
+        and "partial_collect_list" in p
+        and "Python" not in p
+    )
+
     # 6. operator construction must trigger ZERO Spark jobs — no
     # first()/collect()/count() hidden at plan-build time (round 1 had
     # sigs.first() in minhash_lsh_pairs and df.first() in embedding LSH).

@@ -79,8 +79,11 @@ def ensure_corpus(spark):
 def main():
     from pyspark.sql import functions as F
 
+    from netml_spark.operators.sequences import events_to_sequences
     from netml_spark.operators.sessionize import sessionize
-    from netml_spark.operators.skew import bounded_sessionize, salted_agg
+    from netml_spark.operators.skew import (
+        bounded_sequence_build, bounded_sessionize, salted_agg,
+    )
     from netml_spark.session import get_spark
 
     spark = get_spark("skew-bench", master=f"local[{CPUS}]",
@@ -115,11 +118,34 @@ def main():
         return salted_agg(ev, ("doc_id",), "token").agg(
             F.count(F.lit(1)).alias("keys"), F.sum("sum_token").alias("chk"))
 
+    def q_seqbuild_naive():
+        # ordered collect per entity: the hot entity's 800k-row history
+        # concatenates AND sorts inside ONE task's aggregation buffer
+        s = events_to_sequences(ev, ("doc_id",), "ts", "token",
+                                order_cols=(), carry_cols=())
+        return s.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("n_tok").alias("rows"),
+            F.sum(F.element_at("tokens", 1).cast("double")).alias("chk"),
+            F.sum(F.element_at("times", -1)).alias("chk2"),
+        )
+
+    def q_seqbuild_bounded():
+        s = bounded_sequence_build(ev, ("doc_id",), "ts", "token", BUCKET)
+        return s.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("n_tok").alias("rows"),
+            F.sum(F.element_at("tokens", 1).cast("double")).alias("chk"),
+            F.sum(F.element_at("times", -1)).alias("chk2"),
+        )
+
     qs = {
         "sessionize_naive": q_sessionize_naive,
         "sessionize_bounded": q_sessionize_bounded,
         "agg_naive": q_agg_naive,
         "agg_salted": q_agg_salted,
+        "seqbuild_naive": q_seqbuild_naive,
+        "seqbuild_bounded": q_seqbuild_bounded,
     }
     times, checks = {}, {}
     for name, fn in qs.items():
@@ -132,10 +158,13 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
 
-    # sanity: both sessionizers cover every row; both aggs agree exactly
+    # sanity: both sessionizers cover every row; both aggs agree exactly;
+    # the bounded sequence build is EXACTLY the unbounded one
     assert checks["sessionize_naive"][0]["rows"] == N_ROWS
     assert checks["sessionize_bounded"][0]["rows"] == N_ROWS
     assert checks["agg_naive"][0]["keys"] == checks["agg_salted"][0]["keys"]
+    assert checks["seqbuild_naive"] == checks["seqbuild_bounded"]
+    assert checks["seqbuild_naive"][0]["rows"] == N_ROWS
 
     out = {
         "metric": "skewed-corpus wall time (20% of rows on one entity)",
@@ -144,6 +173,8 @@ def main():
         "sessionize_speedup": round(
             times["sessionize_naive"] / times["sessionize_bounded"], 2),
         "agg_speedup": round(times["agg_naive"] / times["agg_salted"], 2),
+        "seqbuild_speedup": round(
+            times["seqbuild_naive"] / times["seqbuild_bounded"], 2),
     }
     print(json.dumps(out))
 
@@ -160,7 +191,10 @@ def main():
             f"{out['sessionize_speedup']:.2f}x |\n"
             f"| algebraic agg | {times['agg_naive']:.2f} | "
             f"{times['agg_salted']:.2f} (salted_agg) | "
-            f"{out['agg_speedup']:.2f}x |\n\n"
+            f"{out['agg_speedup']:.2f}x |\n"
+            f"| ordered collect (sequence build) | {times['seqbuild_naive']:.2f} | "
+            f"{times['seqbuild_bounded']:.2f} (bounded_sequence_build) | "
+            f"{out['seqbuild_speedup']:.2f}x |\n\n"
             "Reading: heavy hitters serialize WINDOW/SORT passes (one task "
             "sorts the hot entity) — bounded_sessionize restores "
             "parallelism by chunking on (entity, time bucket). Algebraic "
