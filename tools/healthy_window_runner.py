@@ -125,18 +125,32 @@ def run_step(name: str) -> bool:
     if name == "scaling":
         env["SPARK_GRAFT_SEQ_DOCS"] = "1920000"
         env["SCALING_BENCH_TIMEOUT"] = "7200"
-        r = subprocess.run([sys.executable, "tools/scaling.py"],
-                           capture_output=True, text=True, cwd=REPO,
-                           timeout=6 * 3600, env=env)
-        print("scaling stderr tail:", "\n".join(r.stderr.splitlines()[-20:]),
-              flush=True)
+        # Stream both pipes to a live log: round 5's attempt ran 5.5 h with
+        # its progress invisible inside this process's capture buffer, then
+        # hit the wrapper timeout and lost everything. With the log on disk
+        # (plus scaling.py's own BENCH/scaling_trials.jsonl journal) a
+        # mid-run kill preserves all completed trial pairs.
+        live = os.path.join(REPO, "BENCH", "scaling_live.log")
+        stdout_path = os.path.join(REPO, "BENCH", "scaling_stdout.log")
+        try:
+            with open(live, "a") as lf, open(stdout_path, "a") as of:
+                lf.write(f"=== scaling launch {time.strftime('%H:%M:%S')} ===\n")
+                lf.flush()
+                r = subprocess.run([sys.executable, "tools/scaling.py"],
+                                   stdout=of, stderr=lf, text=True, cwd=REPO,
+                                   timeout=6 * 3600, env=env)
+        except subprocess.TimeoutExpired:
+            print("scaling TIMED OUT at the 6h wrapper limit; partial "
+                  "trials preserved in BENCH/scaling_trials.jsonl", flush=True)
+            return False
         print("scaling rc=", r.returncode, flush=True)
-        if r.stdout.strip():
-            print("scaling:", r.stdout.strip().splitlines()[-1], flush=True)
+        with open(stdout_path) as f:
+            out_lines = [ln for ln in f.read().splitlines() if ln.strip()]
         # evidence only after rc == 0 AND the tail line parses as JSON
         # (ADVICE r4: a failed run must not overwrite a good result)
-        if r.returncode == 0 and r.stdout.strip():
-            tail = r.stdout.strip().splitlines()[-1]
+        if r.returncode == 0 and out_lines:
+            tail = out_lines[-1]
+            print("scaling:", tail, flush=True)
             try:
                 json.loads(tail)
             except ValueError:

@@ -96,6 +96,17 @@ def main():
         if ceiling >= min_ceiling:
             break
         time.sleep(60)
+    # Incremental trial journal: round 5 lost a 5.5 h run because results
+    # only existed in this process's memory (and the runner buffered the
+    # pipes) when the wrapper timeout killed it. Every completed pair —
+    # kept OR discarded — is appended here the moment it exists, so a
+    # killed run still leaves its measurements on disk.
+    journal = os.path.join(REPO, "BENCH", "scaling_trials.jsonl")
+
+    def journal_write(rec: dict) -> None:
+        with open(journal, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     rN = r4N = None
     qminN: dict = {}
     qmin4N: dict = {}
@@ -106,6 +117,8 @@ def main():
         a = run_bench_once(n)
         b = run_bench_once(n4) if a is not None else None
         if a is None or b is None:
+            journal_write({"attempt": attempt, "n": n, "n4": n4,
+                           "failed_leg": "N" if a is None else "4N"})
             continue  # failed pair counts as an attempt, never as a trial
         # Absolute-time sanity: on identical plans and input, local[4N]
         # CANNOT be slower than local[N] without external contention.
@@ -134,6 +147,12 @@ def main():
         print(f"# trial {attempt}: post-pair pure-CPU {n}->{n4} speedup "
               f"{post:.2f}x {'(kept)' if ok else '(DISCARDED)'}{why}",
               file=sys.stderr)
+        journal_write({"attempt": attempt, "n": n, "n4": n4,
+                       "a_value": a["value"], "b_value": b["value"],
+                       "a_queries": a["queries"], "b_queries": b["queries"],
+                       "post_ceiling": post, "monotone": monotone,
+                       "kept": ok,
+                       "n_sequences": a.get("n_sequences")})
         if not ok and attempt < max_attempts - 1:
             continue
         healthy_trials += 1
