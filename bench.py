@@ -190,6 +190,16 @@ NORTH_QUERIES = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp
 # fixed-size control legitimately takes ~16/CPUS longer.
 CONTROL_HEALTHY_SECS = float(os.environ.get(
     "BENCH_CONTROL_HEALTHY_SECS", str(3.0 * max(1.0, 16.0 / CPUS))))
+# The map-only control misses one documented degradation mode: on
+# 2026-08-17 the shuffle/sort-heavy queries (north_asof, sessionize_stats,
+# subflows_chain) ran 2-3x inflated while every expression/UDF-path query
+# AND the map-only control fence sat at r2 parity — the host degradation
+# lived entirely in the shuffle I/O path. This second fence does a fixed
+# narrow 480k-row exchange so that mode is visible too. Threshold is
+# provisional (set during a shuffle-degraded window); tighten it after
+# the first certified-healthy observation.
+SHUFFLE_CONTROL_HEALTHY_SECS = float(os.environ.get(
+    "BENCH_SHUFFLE_CONTROL_HEALTHY_SECS", str(4.0 * max(1.0, 16.0 / CPUS))))
 # the control ALWAYS reads the 480k corpus (even when SEQ_DOCS scales the
 # suite input) so its absolute seconds stay comparable across runs
 CONTROL_SEQ_PATH = os.path.join(_HERE, "BENCH", "sequences_480000")
@@ -217,7 +227,24 @@ def make_control(spark):
             F.sum(F.element_at("f1", 1) + F.element_at("f2", 1)).alias("c")
         )
 
-    return control
+    def shuffle_control():
+        # narrow (two longs per row) but a REAL exchange of 480k rows:
+        # exercises shuffle write/read, which the map-only control never
+        # touches and which is exactly where the 2026-08-17 degradation
+        # hit. The key is high-cardinality (hash of distinct doc_id) ON
+        # PURPOSE: a low-cardinality key would collapse in the map-side
+        # partial and the exchange would carry almost nothing.
+        return (
+            seqs.select(
+                F.xxhash64("doc_id").alias("k"),
+                F.col("n_tok").cast("long").alias("n"),
+            )
+            .groupBy("k")
+            .agg(F.sum("n").alias("s"))
+            .agg(F.sum("s").alias("c"))
+        )
+
+    return control, shuffle_control
 
 
 def main():
@@ -229,12 +256,18 @@ def main():
     qs = bench_queries(spark)
     seqs, _ = ensure_corpus(spark)
     n_seq = seqs.count()
-    control = make_control(spark)
-    control().collect()  # warm the control too
+    control, shuffle_control = make_control(spark)
+    control().collect()  # warm the controls too
+    shuffle_control().collect()
 
     def time_control():
         t0 = time.time()
         control().collect()
+        return round(time.time() - t0, 3)
+
+    def time_shuffle_control():
+        t0 = time.time()
+        shuffle_control().collect()
         return round(time.time() - t0, 3)
 
     # warm once (codegen + python worker forks), then take the better of
@@ -244,9 +277,11 @@ def main():
     # control AND query i+1's pre-control.
     times = {}
     controls = {}
+    shuffle_controls = {}
     fence = time_control()
+    sh_fence = time_shuffle_control()
     for name, fn in qs.items():
-        pre = fence
+        pre, sh_pre = fence, sh_fence
         fn().collect()
         best = None
         for _ in range(2):
@@ -256,10 +291,15 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
         fence = time_control()
+        sh_fence = time_shuffle_control()
         controls[name] = [pre, fence]
+        shuffle_controls[name] = [sh_pre, sh_fence]
     total = round(sum(times.values()), 3)
     controls_healthy = all(
         c <= CONTROL_HEALTHY_SECS for pair in controls.values() for c in pair
+    ) and all(
+        c <= SHUFFLE_CONTROL_HEALTHY_SECS
+        for pair in shuffle_controls.values() for c in pair
     )
     north_secs = sum(times[q] for q in NORTH_QUERIES if q in times)
     result = {
@@ -270,6 +310,7 @@ def main():
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
         "cpus": CPUS,
         "controls": controls,
+        "shuffle_controls": shuffle_controls,
         "controls_healthy": controls_healthy,
         "n_sequences": n_seq,
         "sequences_per_sec": round(len(NORTH_QUERIES) * n_seq / north_secs, 1)
