@@ -147,8 +147,30 @@ def main():
         "seqbuild_naive": q_seqbuild_naive,
         "seqbuild_bounded": q_seqbuild_bounded,
     }
-    times, checks = {}, {}
+    # Regime certification (2026-08-17 lesson): both r5 skew runs landed
+    # in a shuffle-path-degraded window and INVERTED every comparison —
+    # the remedies pay one extra exchange, which a degraded shuffle path
+    # prices 2-3x. Reuse bench.py's dual fences (map-only + narrow real
+    # exchange over the fixed 480k corpus) so every row carries its own
+    # in-window health annotation instead of an after-the-fact inference.
+    import bench as benchmod
+
+    control, shuffle_control = benchmod.make_control(spark)
+    control().collect()
+    shuffle_control().collect()
+
+    def fences():
+        t0 = time.time()
+        control().collect()
+        c = round(time.time() - t0, 3)
+        t0 = time.time()
+        shuffle_control().collect()
+        return c, round(time.time() - t0, 3)
+
+    times, checks, controls = {}, {}, {}
+    fence = fences()
     for name, fn in qs.items():
+        pre = fence
         checks[name] = [r.asDict() for r in fn().collect()]  # warm + sanity
         best = None
         for _ in range(2):
@@ -157,6 +179,13 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        fence = fences()
+        controls[name] = [pre, fence]  # [(map,shuffle) before, after]
+    controls_healthy = all(
+        c[0] <= benchmod.CONTROL_HEALTHY_SECS
+        and c[1] <= benchmod.SHUFFLE_CONTROL_HEALTHY_SECS
+        for pair in controls.values() for c in pair
+    )
 
     # sanity: both sessionizers cover every row; both aggs agree exactly;
     # the bounded sequence build is EXACTLY the unbounded one
@@ -175,6 +204,8 @@ def main():
         "agg_speedup": round(times["agg_naive"] / times["agg_salted"], 2),
         "seqbuild_speedup": round(
             times["seqbuild_naive"] / times["seqbuild_bounded"], 2),
+        "controls": controls,
+        "controls_healthy": controls_healthy,
     }
     print(json.dumps(out))
 
@@ -183,7 +214,9 @@ def main():
     with open(md, "a") as f:
         f.write(
             f"\nSkew evidence ({stamp}): {N_ROWS} rows, {HOT_FRAC:.0%} on one "
-            f"entity, local[{CPUS}], steady-state min-of-2.\n\n"
+            f"entity, local[{CPUS}], steady-state min-of-2; regime "
+            f"{'CERTIFIED healthy' if controls_healthy else 'NOT certified'} "
+            f"(dual fences per query).\n\n"
             "| op class | naive (s) | skew-aware (s) | speedup |\n"
             "|---|---|---|---|\n"
             f"| sessionize (window sort) | {times['sessionize_naive']:.2f} | "
