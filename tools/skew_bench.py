@@ -209,6 +209,13 @@ def main():
     }
     print(json.dumps(out))
 
+    # evidence file only gets CERTIFIED rows (degraded-regime numbers
+    # invert the comparison and are recorded by the caller's JSON/log
+    # instead); SKEW_APPEND_ALWAYS=1 overrides for forensics
+    if not controls_healthy and not os.environ.get("SKEW_APPEND_ALWAYS"):
+        spark.stop()
+        return
+
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "a") as f:
