@@ -147,6 +147,15 @@ def main():
         "seqbuild_naive": q_seqbuild_naive,
         "seqbuild_bounded": q_seqbuild_bounded,
     }
+    # SKEW_QUERIES=seqbuild (comma-separable prefixes) narrows the run to
+    # one naive/remedy family — on an oscillating host a full-suite
+    # certification window may never occur, but a 3-minute family window
+    # does (observed: four families certified, then a 130 s spike landed
+    # exactly on the fifth).
+    fam = os.environ.get("SKEW_QUERIES")
+    if fam:
+        keep = tuple(f.strip() for f in fam.split(",") if f.strip())
+        qs = {k: v for k, v in qs.items() if k.startswith(keep)}
     # Regime certification (2026-08-17 lesson): both r5 skew runs landed
     # in a shuffle-path-degraded window and INVERTED every comparison —
     # the remedies pay one extra exchange, which a degraded shuffle path
@@ -189,24 +198,29 @@ def main():
 
     # sanity: both sessionizers cover every row; both aggs agree exactly;
     # the bounded sequence build is EXACTLY the unbounded one
-    assert checks["sessionize_naive"][0]["rows"] == N_ROWS
-    assert checks["sessionize_bounded"][0]["rows"] == N_ROWS
-    assert checks["agg_naive"][0]["keys"] == checks["agg_salted"][0]["keys"]
-    assert checks["seqbuild_naive"] == checks["seqbuild_bounded"]
-    assert checks["seqbuild_naive"][0]["rows"] == N_ROWS
+    if "sessionize_naive" in times:
+        assert checks["sessionize_naive"][0]["rows"] == N_ROWS
+        assert checks["sessionize_bounded"][0]["rows"] == N_ROWS
+    if "agg_naive" in times:
+        assert checks["agg_naive"][0]["keys"] == checks["agg_salted"][0]["keys"]
+    if "seqbuild_naive" in times:
+        assert checks["seqbuild_naive"] == checks["seqbuild_bounded"]
+        assert checks["seqbuild_naive"][0]["rows"] == N_ROWS
 
     out = {
         "metric": "skewed-corpus wall time (20% of rows on one entity)",
         "rows": N_ROWS, "hot_frac": HOT_FRAC, "cpus": CPUS,
         "queries": times,
-        "sessionize_speedup": round(
-            times["sessionize_naive"] / times["sessionize_bounded"], 2),
-        "agg_speedup": round(times["agg_naive"] / times["agg_salted"], 2),
-        "seqbuild_speedup": round(
-            times["seqbuild_naive"] / times["seqbuild_bounded"], 2),
         "controls": controls,
         "controls_healthy": controls_healthy,
     }
+    for famname, naive, remedy in (
+        ("sessionize", "sessionize_naive", "sessionize_bounded"),
+        ("agg", "agg_naive", "agg_salted"),
+        ("seqbuild", "seqbuild_naive", "seqbuild_bounded"),
+    ):
+        if naive in times and remedy in times:
+            out[f"{famname}_speedup"] = round(times[naive] / times[remedy], 2)
     print(json.dumps(out))
 
     # evidence file only gets CERTIFIED rows (degraded-regime numbers
@@ -218,6 +232,22 @@ def main():
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    rows_md = ""
+    if "sessionize_naive" in times:
+        rows_md += (
+            f"| sessionize (window sort) | {times['sessionize_naive']:.2f} | "
+            f"{times['sessionize_bounded']:.2f} (bounded_sessionize) | "
+            f"{out['sessionize_speedup']:.2f}x |\n")
+    if "agg_naive" in times:
+        rows_md += (
+            f"| algebraic agg | {times['agg_naive']:.2f} | "
+            f"{times['agg_salted']:.2f} (salted_agg) | "
+            f"{out['agg_speedup']:.2f}x |\n")
+    if "seqbuild_naive" in times:
+        rows_md += (
+            f"| ordered collect (sequence build) | {times['seqbuild_naive']:.2f} | "
+            f"{times['seqbuild_bounded']:.2f} (bounded_sequence_build) | "
+            f"{out['seqbuild_speedup']:.2f}x |\n")
     with open(md, "a") as f:
         f.write(
             f"\nSkew evidence ({stamp}): {N_ROWS} rows, {HOT_FRAC:.0%} on one "
@@ -226,21 +256,7 @@ def main():
             f"(dual fences per query).\n\n"
             "| op class | naive (s) | skew-aware (s) | speedup |\n"
             "|---|---|---|---|\n"
-            f"| sessionize (window sort) | {times['sessionize_naive']:.2f} | "
-            f"{times['sessionize_bounded']:.2f} (bounded_sessionize) | "
-            f"{out['sessionize_speedup']:.2f}x |\n"
-            f"| algebraic agg | {times['agg_naive']:.2f} | "
-            f"{times['agg_salted']:.2f} (salted_agg) | "
-            f"{out['agg_speedup']:.2f}x |\n"
-            f"| ordered collect (sequence build) | {times['seqbuild_naive']:.2f} | "
-            f"{times['seqbuild_bounded']:.2f} (bounded_sequence_build) | "
-            f"{out['seqbuild_speedup']:.2f}x |\n\n"
-            "Reading: heavy hitters serialize WINDOW/SORT passes (one task "
-            "sorts the hot entity) — bounded_sessionize restores "
-            "parallelism by chunking on (entity, time bucket). Algebraic "
-            "aggregates are already skew-tolerant via hash-agg map-side "
-            "partials, so salted_agg ~ties there by design (its documented "
-            "use is final groups too big for one task).\n"
+            + rows_md
         )
     spark.stop()
 
