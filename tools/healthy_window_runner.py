@@ -94,34 +94,57 @@ def save_state(st: dict) -> None:
         json.dump(st, f)
 
 
+def last_json(stdout: str) -> dict | None:
+    """Last parseable JSON object line in stdout (progress-bar \\r glue and
+    log lines skipped — CLAUDE.md: never trust splitlines()[-1] alone)."""
+    for raw in reversed(stdout.strip().splitlines()):
+        for piece in reversed(raw.split("\r")):
+            piece = piece.strip()
+            if piece.startswith("{"):
+                try:
+                    return json.loads(piece)
+                except ValueError:
+                    continue
+    return None
+
+
 def run_step(name: str) -> bool:
     env = dict(os.environ)
     if name == "bench":
         r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                            text=True, cwd=REPO, timeout=3600, env=env)
-        lines = r.stdout.strip().splitlines()
-        if r.returncode != 0 or not lines:
+        rec = last_json(r.stdout)
+        if r.returncode != 0 or rec is None:
             print(f"bench failed rc={r.returncode}", flush=True)
             return False
-        # evidence only from a clean exit AND a parseable JSON line
-        # (ADVICE r4: never record a failed/degraded run's stdout)
-        try:
-            json.loads(lines[-1])
-        except ValueError:
-            print("bench stdout tail is not JSON; discarded", flush=True)
+        # evidence only from a clean exit AND a certified-healthy regime:
+        # the fences inside bench.py (map + narrow-shuffle, per query) are
+        # the ground truth — an uncertified run marked `done` here cost
+        # round 5 its lineage record (bench_r4_healthy.jsonl entry with a
+        # 16.9 s control). Uncertified → retry on the next healthy window.
+        if not rec.get("controls_healthy"):
+            print("bench ran but controls_healthy=false; retrying later",
+                  flush=True)
             return False
         with open(os.path.join(REPO, "BENCH", "bench_r4_healthy.jsonl"), "a") as f:
-            f.write(lines[-1] + "\n")
-        print("bench:", lines[-1], flush=True)
+            f.write(json.dumps(rec) + "\n")
+        print("bench:", json.dumps(rec), flush=True)
         return True
     if name == "skew":
         r = subprocess.run([sys.executable, "tools/skew_bench.py"],
                            capture_output=True, text=True, cwd=REPO,
                            timeout=3600, env=env)
-        print("skew rc=", r.returncode, r.stdout.strip().splitlines()[-1:]
-              if r.stdout.strip() else r.stderr.strip().splitlines()[-5:],
+        rec = last_json(r.stdout)
+        print("skew rc=", r.returncode,
+              json.dumps(rec) if rec else r.stderr.strip().splitlines()[-5:],
               flush=True)
-        return r.returncode == 0
+        if r.returncode != 0 or rec is None:
+            return False
+        # done only when every family that RAN (SKEW_QUERIES passes
+        # through env) certified its own fences — skew_bench appends
+        # certified families to BASELINE.md itself.
+        fam = rec.get("family_certified", {})
+        return bool(fam) and all(fam.values())
     if name == "scaling":
         env["SPARK_GRAFT_SEQ_DOCS"] = "1920000"
         env["SCALING_BENCH_TIMEOUT"] = "7200"

@@ -190,11 +190,15 @@ def main():
         times[name] = round(best, 3)
         fence = fences()
         controls[name] = [pre, fence]  # [(map,shuffle) before, after]
-    controls_healthy = all(
-        c[0] <= benchmod.CONTROL_HEALTHY_SECS
-        and c[1] <= benchmod.SHUFFLE_CONTROL_HEALTHY_SECS
-        for pair in controls.values() for c in pair
-    )
+    def fences_healthy(pairs):
+        return all(
+            c[0] <= benchmod.CONTROL_HEALTHY_SECS
+            and c[1] <= benchmod.SHUFFLE_CONTROL_HEALTHY_SECS
+            for c in pairs
+        )
+
+    controls_healthy = fences_healthy(
+        [c for pair in controls.values() for c in pair])
 
     # sanity: both sessionizers cover every row; both aggs agree exactly;
     # the bounded sequence build is EXACTLY the unbounded one
@@ -207,6 +211,23 @@ def main():
         assert checks["seqbuild_naive"] == checks["seqbuild_bounded"]
         assert checks["seqbuild_naive"][0]["rows"] == N_ROWS
 
+    # Per-FAMILY certification: each naive/remedy pair is bracketed by its
+    # own three fences (pre-naive, between, post-remedy). On a host that
+    # oscillates on a ~5-minute period a full-suite window may never occur,
+    # but a single family's ~3-minute window does — the 18:14 UTC run had
+    # four families fence-clean and lost ALL of them to one 130 s spike on
+    # the fifth. A family's comparison is valid iff ITS OWN regime was
+    # healthy for both legs; families run back-to-back, so the `between`
+    # fence is shared.
+    FAMILIES = (
+        ("sessionize", "sessionize_naive", "sessionize_bounded",
+         "sessionize (window sort)", "bounded_sessionize"),
+        ("agg", "agg_naive", "agg_salted",
+         "algebraic agg", "salted_agg"),
+        ("seqbuild", "seqbuild_naive", "seqbuild_bounded",
+         "ordered collect (sequence build)", "bounded_sequence_build"),
+    )
+    fam_cert = {}
     out = {
         "metric": "skewed-corpus wall time (20% of rows on one entity)",
         "rows": N_ROWS, "hot_frac": HOT_FRAC, "cpus": CPUS,
@@ -214,48 +235,42 @@ def main():
         "controls": controls,
         "controls_healthy": controls_healthy,
     }
-    for famname, naive, remedy in (
-        ("sessionize", "sessionize_naive", "sessionize_bounded"),
-        ("agg", "agg_naive", "agg_salted"),
-        ("seqbuild", "seqbuild_naive", "seqbuild_bounded"),
-    ):
+    for famname, naive, remedy, _, _ in FAMILIES:
         if naive in times and remedy in times:
             out[f"{famname}_speedup"] = round(times[naive] / times[remedy], 2)
+            fam_cert[famname] = fences_healthy(
+                controls[naive] + controls[remedy])
+    out["family_certified"] = fam_cert
     print(json.dumps(out))
 
-    # evidence file only gets CERTIFIED rows (degraded-regime numbers
+    # evidence file only gets CERTIFIED families (degraded-regime numbers
     # invert the comparison and are recorded by the caller's JSON/log
     # instead); SKEW_APPEND_ALWAYS=1 overrides for forensics
-    if not controls_healthy and not os.environ.get("SKEW_APPEND_ALWAYS"):
+    append_all = bool(os.environ.get("SKEW_APPEND_ALWAYS"))
+    rows_md = ""
+    for famname, naive, remedy, label, remedy_label in FAMILIES:
+        if famname not in fam_cert:
+            continue
+        if not (fam_cert[famname] or append_all):
+            continue
+        cert = "yes" if fam_cert[famname] else "NO"
+        rows_md += (
+            f"| {label} | {times[naive]:.2f} | "
+            f"{times[remedy]:.2f} ({remedy_label}) | "
+            f"{out[famname + '_speedup']:.2f}x | {cert} |\n")
+    if not rows_md:
         spark.stop()
         return
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    rows_md = ""
-    if "sessionize_naive" in times:
-        rows_md += (
-            f"| sessionize (window sort) | {times['sessionize_naive']:.2f} | "
-            f"{times['sessionize_bounded']:.2f} (bounded_sessionize) | "
-            f"{out['sessionize_speedup']:.2f}x |\n")
-    if "agg_naive" in times:
-        rows_md += (
-            f"| algebraic agg | {times['agg_naive']:.2f} | "
-            f"{times['agg_salted']:.2f} (salted_agg) | "
-            f"{out['agg_speedup']:.2f}x |\n")
-    if "seqbuild_naive" in times:
-        rows_md += (
-            f"| ordered collect (sequence build) | {times['seqbuild_naive']:.2f} | "
-            f"{times['seqbuild_bounded']:.2f} (bounded_sequence_build) | "
-            f"{out['seqbuild_speedup']:.2f}x |\n")
     with open(md, "a") as f:
         f.write(
             f"\nSkew evidence ({stamp}): {N_ROWS} rows, {HOT_FRAC:.0%} on one "
-            f"entity, local[{CPUS}], steady-state min-of-2; regime "
-            f"{'CERTIFIED healthy' if controls_healthy else 'NOT certified'} "
-            f"(dual fences per query).\n\n"
-            "| op class | naive (s) | skew-aware (s) | speedup |\n"
-            "|---|---|---|---|\n"
+            f"entity, local[{CPUS}], steady-state min-of-2; certification is "
+            f"per family (dual fences bracketing each naive/remedy pair).\n\n"
+            "| op class | naive (s) | skew-aware (s) | speedup | fences healthy |\n"
+            "|---|---|---|---|---|\n"
             + rows_md
         )
     spark.stop()
