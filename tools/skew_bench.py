@@ -41,11 +41,18 @@ sys.path.insert(0, REPO)
 
 N_ROWS = int(os.environ.get("SKEW_ROWS", "4000000"))
 CPUS = int(os.environ.get("SKEW_CPUS", "16"))
-HOT_FRAC = 0.20
+# SKEW_HOT_FRAC picks the regime: 0.2 (default) puts the hot entity a
+# bit over per-core average work — the honest "mild skew" shape where
+# the remedies' extra exchange LOSES; 0.8 makes one entity dominate the
+# corpus (hot rows >> total/cores) — the shape the remedies (and the
+# 5M-row heavy_hitters gate in sequence_build_auto/sessionize_auto)
+# exist for. Measuring BOTH sides calibrates the auto threshold.
+HOT_FRAC = float(os.environ.get("SKEW_HOT_FRAC", "0.20"))
 N_COLD = 200_000
 GAP = 30.0
 BUCKET = 3600.0  # >> gap: ~gap/width = 0.8% of hot sessions split at bounds
-PATH = os.path.join(REPO, "BENCH", f"skew_events_{N_ROWS}")
+_tag = f"{N_ROWS}" if HOT_FRAC == 0.20 else f"{N_ROWS}_hot{int(HOT_FRAC * 100)}"
+PATH = os.path.join(REPO, "BENCH", f"skew_events_{_tag}")
 
 
 def ensure_corpus(spark):
