@@ -133,8 +133,12 @@ def main():
         return s.agg(
             F.count(F.lit(1)).alias("keys"),
             F.sum("n_tok").alias("rows"),
-            F.sum(F.element_at("tokens", 1).cast("double")).alias("chk"),
-            F.sum(F.element_at("times", -1)).alias("chk2"),
+            # exact, order-insensitive checksums: the two plans partition
+            # their output differently, so a plain double SUM of ~1.7e9
+            # magnitudes rounds differently per plan (observed at
+            # hot_frac=0.8) — long/decimal addition is associative.
+            F.sum(F.element_at("tokens", 1).cast("long")).alias("chk"),
+            F.sum(F.element_at("times", -1).cast("decimal(18,6)")).alias("chk2"),
         )
 
     def q_seqbuild_bounded():
@@ -142,8 +146,12 @@ def main():
         return s.agg(
             F.count(F.lit(1)).alias("keys"),
             F.sum("n_tok").alias("rows"),
-            F.sum(F.element_at("tokens", 1).cast("double")).alias("chk"),
-            F.sum(F.element_at("times", -1)).alias("chk2"),
+            # exact, order-insensitive checksums: the two plans partition
+            # their output differently, so a plain double SUM of ~1.7e9
+            # magnitudes rounds differently per plan (observed at
+            # hot_frac=0.8) — long/decimal addition is associative.
+            F.sum(F.element_at("tokens", 1).cast("long")).alias("chk"),
+            F.sum(F.element_at("times", -1).cast("decimal(18,6)")).alias("chk2"),
         )
 
     qs = {
