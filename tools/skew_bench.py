@@ -23,12 +23,23 @@ sessionizer is the one that must win on this corpus.
 Appends a table to BENCH/BASELINE.md and prints one JSON line.
 Run: python tools/skew_bench.py   (SKEW_ROWS=4000000 SKEW_CPUS=16)
 NEVER run while any other Spark job is active (CLAUDE.md).
+
+SKEW_ISOLATE=1 runs each query in its OWN subprocess JVM (fences and
+all), like scaling.py's bench legs. Motivation (2026-08-17, four runs
+in a row): at 16M rows the post-leg fence spiked 40-204 s immediately
+after whichever leg allocated heavily — GB-scale aggregation buffers
+balloon the shared JVM heap to ~40 g and the NEXT minutes pay full-GC
+and page-cache costs, so the second leg of every family read tainted.
+That is self-induced, not host oscillation; a fresh JVM per leg removes
+the cross-contamination (and matches how a real cluster runs competing
+jobs: as separate applications).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from datetime import datetime, timezone
@@ -162,15 +173,8 @@ def main():
         "seqbuild_naive": q_seqbuild_naive,
         "seqbuild_bounded": q_seqbuild_bounded,
     }
-    # SKEW_QUERIES=seqbuild (comma-separable prefixes) narrows the run to
-    # one naive/remedy family — on an oscillating host a full-suite
-    # certification window may never occur, but a 3-minute family window
-    # does (observed: four families certified, then a 130 s spike landed
-    # exactly on the fifth).
-    fam = os.environ.get("SKEW_QUERIES")
-    if fam:
-        keep = tuple(f.strip() for f in fam.split(",") if f.strip())
-        qs = {k: v for k, v in qs.items() if k.startswith(keep)}
+    names = requested_names()
+    qs = {k: v for k, v in qs.items() if k in names}
     # Regime certification (2026-08-17 lesson): both r5 skew runs landed
     # in a shuffle-path-degraded window and INVERTED every comparison —
     # the remedies pay one extra exchange, which a degraded shuffle path
@@ -205,6 +209,46 @@ def main():
         times[name] = round(best, 3)
         fence = fences()
         controls[name] = [pre, fence]  # [(map,shuffle) before, after]
+    spark.stop()
+    finish(times, checks, controls, isolated=False)
+
+
+QUERY_NAMES = (
+    "sessionize_naive", "sessionize_bounded",
+    "agg_naive", "agg_salted",
+    "seqbuild_naive", "seqbuild_bounded",
+)
+
+FAMILIES = (
+    ("sessionize", "sessionize_naive", "sessionize_bounded",
+     "sessionize (window sort)", "bounded_sessionize"),
+    ("agg", "agg_naive", "agg_salted",
+     "algebraic agg", "salted_agg"),
+    ("seqbuild", "seqbuild_naive", "seqbuild_bounded",
+     "ordered collect (sequence build)", "bounded_sequence_build"),
+)
+
+
+def requested_names() -> list[str]:
+    # SKEW_QUERIES=seqbuild (comma-separable prefixes) narrows the run to
+    # one naive/remedy family — on an oscillating host a full-suite
+    # certification window may never occur, but a 3-minute family window
+    # does (observed: four families certified, then a 130 s spike landed
+    # exactly on the fifth). An exact query name selects a single leg
+    # (the unit SKEW_ISOLATE subprocesses use).
+    fam = os.environ.get("SKEW_QUERIES")
+    names = list(QUERY_NAMES)
+    if fam:
+        keep = tuple(f.strip() for f in fam.split(",") if f.strip())
+        names = [n for n in names if n.startswith(keep)]
+    return names
+
+
+def finish(times: dict, checks: dict, controls: dict, isolated: bool) -> None:
+    """Asserts, certification, JSON line, BASELINE.md append — shared by
+    the in-process path and the SKEW_ISOLATE parent."""
+    import bench as benchmod
+
     def fences_healthy(pairs):
         return all(
             c[0] <= benchmod.CONTROL_HEALTHY_SECS
@@ -216,37 +260,28 @@ def main():
         [c for pair in controls.values() for c in pair])
 
     # sanity: both sessionizers cover every row; both aggs agree exactly;
-    # the bounded sequence build is EXACTLY the unbounded one
-    if "sessionize_naive" in times:
-        assert checks["sessionize_naive"][0]["rows"] == N_ROWS
-        assert checks["sessionize_bounded"][0]["rows"] == N_ROWS
-    if "agg_naive" in times:
+    # the bounded sequence build is EXACTLY the unbounded one (guards are
+    # per-key so a single-leg subprocess run can pass through)
+    for name in ("sessionize_naive", "sessionize_bounded", "seqbuild_naive",
+                 "seqbuild_bounded"):
+        if name in checks:
+            assert checks[name][0]["rows"] == N_ROWS, name
+    if {"agg_naive", "agg_salted"} <= checks.keys():
         assert checks["agg_naive"][0]["keys"] == checks["agg_salted"][0]["keys"]
-    if "seqbuild_naive" in times:
+    if {"seqbuild_naive", "seqbuild_bounded"} <= checks.keys():
         assert checks["seqbuild_naive"] == checks["seqbuild_bounded"]
-        assert checks["seqbuild_naive"][0]["rows"] == N_ROWS
 
     # Per-FAMILY certification: each naive/remedy pair is bracketed by its
-    # own three fences (pre-naive, between, post-remedy). On a host that
-    # oscillates on a ~5-minute period a full-suite window may never occur,
-    # but a single family's ~3-minute window does — the 18:14 UTC run had
-    # four families fence-clean and lost ALL of them to one 130 s spike on
-    # the fifth. A family's comparison is valid iff ITS OWN regime was
-    # healthy for both legs; families run back-to-back, so the `between`
-    # fence is shared.
-    FAMILIES = (
-        ("sessionize", "sessionize_naive", "sessionize_bounded",
-         "sessionize (window sort)", "bounded_sessionize"),
-        ("agg", "agg_naive", "agg_salted",
-         "algebraic agg", "salted_agg"),
-        ("seqbuild", "seqbuild_naive", "seqbuild_bounded",
-         "ordered collect (sequence build)", "bounded_sequence_build"),
-    )
+    # own fences (pre/post each leg; in-process runs share the middle
+    # fence). A family's comparison is valid iff ITS OWN regime was
+    # healthy for both legs.
     fam_cert = {}
     out = {
         "metric": "skewed-corpus wall time (20% of rows on one entity)",
         "rows": N_ROWS, "hot_frac": HOT_FRAC, "cpus": CPUS,
+        "isolated": isolated,
         "queries": times,
+        "checks": checks,
         "controls": controls,
         "controls_healthy": controls_healthy,
     }
@@ -256,7 +291,7 @@ def main():
             fam_cert[famname] = fences_healthy(
                 controls[naive] + controls[remedy])
     out["family_certified"] = fam_cert
-    print(json.dumps(out))
+    print(json.dumps(out, default=str))
 
     # evidence file only gets CERTIFIED families (degraded-regime numbers
     # invert the comparison and are recorded by the caller's JSON/log
@@ -274,22 +309,60 @@ def main():
             f"{times[remedy]:.2f} ({remedy_label}) | "
             f"{out[famname + '_speedup']:.2f}x | {cert} |\n")
     if not rows_md:
-        spark.stop()
         return
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    iso = ("one fresh JVM per leg (SKEW_ISOLATE)" if isolated
+           else "single shared JVM")
     with open(md, "a") as f:
         f.write(
             f"\nSkew evidence ({stamp}): {N_ROWS} rows, {HOT_FRAC:.0%} on one "
-            f"entity, local[{CPUS}], steady-state min-of-2; certification is "
-            f"per family (dual fences bracketing each naive/remedy pair).\n\n"
+            f"entity, local[{CPUS}], steady-state min-of-2, {iso}; "
+            f"certification is per family (dual fences bracketing each "
+            f"naive/remedy leg).\n\n"
             "| op class | naive (s) | skew-aware (s) | speedup | fences healthy |\n"
             "|---|---|---|---|---|\n"
             + rows_md
         )
-    spark.stop()
+
+
+def isolate_main() -> None:
+    """One subprocess JVM per query leg; fences travel with the leg."""
+    times, checks, controls = {}, {}, {}
+    for name in requested_names():
+        env = dict(os.environ)
+        env.pop("SKEW_ISOLATE", None)
+        env["SKEW_QUERIES"] = name
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800, env=env,
+        )
+        rec = None
+        for raw in reversed(r.stdout.strip().splitlines()):
+            for piece in reversed(raw.split("\r")):
+                piece = piece.strip()
+                if piece.startswith("{"):
+                    try:
+                        rec = json.loads(piece)
+                        break
+                    except ValueError:
+                        continue
+            if rec is not None:
+                break
+        if r.returncode != 0 or rec is None:
+            tail = "\n".join(r.stderr.strip().splitlines()[-10:])
+            print(f"# leg {name} FAILED rc={r.returncode}:\n{tail}",
+                  file=sys.stderr)
+            sys.exit(1)
+        times.update(rec["queries"])
+        checks.update(rec["checks"])
+        controls.update(rec["controls"])
+    finish(times, checks, controls, isolated=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SKEW_ISOLATE"):
+        isolate_main()
+    else:
+        main()
