@@ -207,6 +207,15 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        # Post-fence hygiene: a leg that builds GB-scale aggregation
+        # buffers leaves the heap near Xmx, and the very next fence pays
+        # that leg's full GC instead of measuring the host regime
+        # (observed: 122.9 s map fence in a FRESH JVM right after the
+        # 12.8M-row naive collect, while a separate JVM seconds later
+        # read 2.2-3.0 s). Drain the leg's garbage before fencing; the
+        # leg's own timed runs above still include all of their GC cost.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2.0)
         fence = fences()
         controls[name] = [pre, fence]  # [(map,shuffle) before, after]
     spark.stop()
