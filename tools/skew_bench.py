@@ -188,6 +188,12 @@ def main():
     shuffle_control().collect()
 
     def fences():
+        # re-warm before timing: a heavy leg evicts the control corpus
+        # from the OS page cache, and an unwarmed fence then measures our
+        # own eviction (disk re-read), not the host regime it certifies.
+        # bench.py's fences are implicitly warm (its queries share the
+        # corpus); this makes the skew fences measure the same thing.
+        control().collect()
         t0 = time.time()
         control().collect()
         c = round(time.time() - t0, 3)
