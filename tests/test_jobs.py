@@ -44,6 +44,22 @@ def test_cli_argument_validation_surface(capsys):
         # classify requires the trained model
         (classify.main, ["--input", "/tmp/x"],
          r"arguments are required.*--model"),
+        # dynamic checks transcribed from cli.py:384-404
+        # (test_learn.py:191-229: label/input counts must match, both ways)
+        (learn.main, ["--inputs", "/tmp/x", "--labels", "/tmp/a", "/tmp/b",
+                      "--output-model", "/tmp/m"],
+         r"number of files .+ must match"),
+        (learn.main, ["--inputs", "/tmp/x", "/tmp/y", "--labels", "/tmp/a",
+                      "--output-model", "/tmp/m"],
+         r"number of files .+ must match"),
+        # test_learn.py:337-357: unlabeled + flag-labeled inputs may not mix
+        (learn.main, ["--inputs", "/tmp/x", "--input-normal", "/tmp/n",
+                      "--output-model", "/tmp/m"],
+         r"may not specify --inputs and --input-normal/--input-abnormal "
+         r"without also specifying --labels"),
+        # cli.py:384-388: at least one input of any kind is required
+        (learn.main, ["--output-model", "/tmp/m"],
+         r"at least one of the following arguments are required"),
     ]
     for fn, argv, pattern in cases:
         with pytest.raises(SystemExit) as exc:
@@ -51,6 +67,54 @@ def test_cli_argument_validation_surface(capsys):
         assert exc.value.code == 2, (fn.__module__, argv)
         err = capsys.readouterr().err
         assert re.search(pattern, err), (fn.__module__, argv, err)
+
+
+def test_learn_paired_file_labels(spark, tmp_path, capsys):
+    """Per-input label pairing is positional, like the reference's
+    zip(pcaps, label_files) (cli.py:434-436, test_learn.py:170-189): the
+    same events table read twice, paired with an all-BENIGN and an
+    all-attack label table, must yield equal 0/1 label counts."""
+    import pandas as pd
+
+    import jobs.learn as learn
+
+    users = pd.read_parquet(EVENTS, columns=["user_id"])["user_id"].unique()
+    lab0 = str(tmp_path / "lab0.parquet")
+    lab1 = str(tmp_path / "lab1.parquet")
+    pd.DataFrame({"user_id": users, "label_raw": "BENIGN"}).to_parquet(lab0)
+    pd.DataFrame({"user_id": users, "label_raw": "portscan"}).to_parquet(lab1)
+    p = str(tmp_path / "model.pkl")
+    learn.main([
+        "--inputs", EVENTS, EVENTS, "--labels", lab0, lab1,
+        "--feat-type", "STATS", "--model", "pca",
+        "--entity-cols", "user_id", "--token-col", "value",
+        "--order-cols", "event_id", "--output-model", p,
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"labels: \{0: (\d+), 1: (\d+)\}", out)
+    assert m, out
+    assert int(m.group(1)) == int(m.group(2)) > 0
+
+
+def test_learn_flag_labeled_inputs(spark, tmp_path, capsys):
+    """--input-normal/--input-abnormal label whole inputs 0/1 wholesale
+    (reference --pcap-normal/--pcap-abnormal, test_learn.py:232-278)."""
+    import jobs.learn as learn
+
+    p = str(tmp_path / "model.pkl")
+    learn.main([
+        "--input-normal", EVENTS, "--input-abnormal", EVENTS,
+        "--feat-type", "STATS", "--model", "pca",
+        "--entity-cols", "user_id", "--token-col", "value",
+        "--order-cols", "event_id", "--output-model", p,
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"labels: \{0: (\d+), 1: (\d+)\}", out)
+    assert m, out
+    assert int(m.group(1)) == int(m.group(2)) > 0
+    from netml_spark import ndm
+
+    assert hasattr(ndm.Model.load(p), "predict")
 
 
 def test_classify_distributed_scoring_parity(spark, tmp_path, capsys, model_path):
