@@ -449,8 +449,19 @@ class Model:
         return self.score
 
     def predict(self, X: np.ndarray) -> np.ndarray:
-        """1 = anomaly (score above the contamination threshold), 0 = normal."""
-        return (self.detector.score(X) > self.threshold_).astype(int)
+        """1 = anomaly (score above the contamination threshold), 0 = normal.
+
+        The comparison carries a relative tolerance: np.quantile at
+        (n_train-1)*(1-contamination) integral lands EXACTLY on an order
+        statistic, so one train flow's score equals threshold_ bit-for-bit
+        — and BLAS matmul reduction order varies with batch shape, so the
+        same row scored in a different-sized Arrow batch on an executor
+        can drift by ~1 ulp and flip a strict `>`. The tolerance (1e-9
+        relative; BLAS drift is ~1e-15 relative, real score gaps are
+        O(1)) makes executor-batch and driver-batch predictions agree,
+        and resolves the exact-tie case to 0 like pyod's strict `>`."""
+        tol = 1e-9 * max(1.0, abs(self.threshold_))
+        return (self.detector.score(X) > self.threshold_ + tol).astype(int)
 
     def save(self, path: str) -> None:
         import pickle

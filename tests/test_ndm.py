@@ -95,6 +95,32 @@ def test_model_wrapper_threshold_and_persistence(tmp_path):
     np.testing.assert_array_equal(m2.predict(X), pred)
 
 
+def test_predict_stable_under_batch_float_drift():
+    """np.quantile at an integral order-statistic index makes threshold_
+    EQUAL one train score bit-for-bit (11 train rows, contamination 0.1
+    -> index 10*0.9 = 9.0 exactly); BLAS matmul drift across Arrow batch
+    shapes then flips a strict `>` between executor and driver scoring
+    (observed live in test_classify_distributed_scoring_parity). predict
+    must resolve the tie to 0 and absorb ulp-scale drift either way."""
+
+    class _Fixed:
+        def fit(self, X):
+            return self
+
+        def score(self, X):
+            return np.asarray(X, dtype=np.float64)[:, 0]
+
+    m = ndm.Model(_Fixed(), contamination=0.1)
+    train = np.arange(11, dtype=np.float64).reshape(-1, 1)
+    m.train(train)
+    assert m.threshold_ == 9.0  # exact order statistic, the tie case
+    at = np.float64(9.0)
+    up = np.nextafter(at, np.inf)    # +1 ulp: executor-side drift
+    down = np.nextafter(at, -np.inf)
+    got = m.predict(np.array([[down], [at], [up], [9.1], [8.9]]))
+    np.testing.assert_array_equal(got, [0, 0, 0, 1, 0])
+
+
 def test_e2e_features_to_model(spark, token_events_df):
     from netml_spark.pipeline import FeaturePlan
 
