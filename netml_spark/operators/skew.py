@@ -121,7 +121,7 @@ def sessionize_auto(
     ts_col: str,
     gap: float,
     bucket_width: float | None = None,
-    threshold_rows: int = 5_000_000,
+    threshold_rows: int = 2_000_000,
     fraction: float = 0.001,
     order_cols: Sequence[str] = (),
     session_col: str = "session_id",
@@ -133,6 +133,12 @@ def sessionize_auto(
     to 1000x gap, so ~0.1% of the hot entity's sessions split at bucket
     boundaries — the documented approximation, taken only when the exact
     plan would serialize one task on the hot entity's sort).
+
+    ``threshold_rows`` default calibrated by the certified skew rows
+    (BENCH/BASELINE.md): at a 0.8M-row hot entity bounded already edges
+    the naive window sort (1.16x), at 3.2M it wins 3.70x — the default
+    engages the remedy from 2M, below which the boundary-split
+    approximation is not worth a ~tie.
 
     The session id is a STRING on both paths (the bounded path's ids are
     bucket-qualified) so the output schema does not depend on the data.
@@ -224,7 +230,7 @@ def sequence_build_auto(
     ts_col: str,
     token_col: str,
     bucket_width: float = 3600.0,
-    threshold_rows: int = 5_000_000,
+    threshold_rows: int = 2_000_000,
     fraction: float = 0.001,
     order_cols: Sequence[str] = (),
     carry_cols: Sequence[str] = (),
@@ -238,7 +244,14 @@ def sequence_build_auto(
     (entity, bucket)) shuffle but never sorts a hot entity's whole
     history in one task's aggregation buffer. ONE sample job decides —
     the same deliberate plan-time action class as the two-pass quantile
-    scalars (SURVEY.md §3.1)."""
+    scalars (SURVEY.md §3.1).
+
+    ``threshold_rows`` default calibrated by the three certified skew
+    rows (BENCH/BASELINE.md): naive wins 1.67x at a 0.8M-row hot entity,
+    bounded wins 1.44x at 3.2M, ~tie (0.84x) at 12.8M where bounded's
+    real value is bounded per-task sort memory — the wall-time crossover
+    sits between 0.8M and 3.2M, and 2M also puts the memory-risk
+    asymmetry on the safe side."""
     from netml_spark.operators.sequences import events_to_sequences
 
     hot = heavy_hitters(df, entity_cols, threshold_rows=threshold_rows,
