@@ -270,6 +270,19 @@ def main():
         shuffle_control().collect()
         return round(time.time() - t0, 3)
 
+    def drain_and_rewarm():
+        # Fence hygiene, ported from tools/skew_bench.py (round-5 skew
+        # forensics): a heavy query leaves the heap near Xmx and evicts
+        # the control corpus from the page cache, so an immediate fence
+        # pays the QUERY's GC + re-read instead of measuring the host
+        # regime it certifies (observed live: the fence after
+        # sessionize_stats read 10.1 s and 15.5 s in back-to-back runs
+        # whose other fences were 1.7-2.5 s). Drain + re-warm first; the
+        # query's own timed runs above still include all their GC cost.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2.0)
+        control().collect()
+
     # warm once (codegen + python worker forks), then take the better of
     # two timed runs — the host shows transient multi-x slowdowns, and a
     # single unlucky sample misrepresents steady-state throughput.
@@ -278,6 +291,7 @@ def main():
     times = {}
     controls = {}
     shuffle_controls = {}
+    drain_and_rewarm()
     fence = time_control()
     sh_fence = time_shuffle_control()
     for name, fn in qs.items():
@@ -290,6 +304,7 @@ def main():
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+        drain_and_rewarm()
         fence = time_control()
         sh_fence = time_shuffle_control()
         controls[name] = [pre, fence]
