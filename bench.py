@@ -195,11 +195,14 @@ CONTROL_HEALTHY_SECS = float(os.environ.get(
 # subflows_chain) ran 2-3x inflated while every expression/UDF-path query
 # AND the map-only control fence sat at r2 parity — the host degradation
 # lived entirely in the shuffle I/O path. This second fence does a fixed
-# narrow 480k-row exchange so that mode is visible too. Threshold is
-# provisional (set during a shuffle-degraded window); tighten it after
-# the first certified-healthy observation.
+# narrow 480k-row exchange so that mode is visible too. Threshold
+# calibrated from the certified-healthy runs of 2026-08-18 (the clean
+# 4x scaling pair + the certified 480k lineage line): healthy shuffle
+# fences read 0.28-0.66 s at local[16] and 0.29-0.92 s at local[4], so
+# 2.0 s (scaled) keeps 2-3x headroom over the healthy band while still
+# catching the 2-3x shuffle-path inflation it exists to detect.
 SHUFFLE_CONTROL_HEALTHY_SECS = float(os.environ.get(
-    "BENCH_SHUFFLE_CONTROL_HEALTHY_SECS", str(4.0 * max(1.0, 16.0 / CPUS))))
+    "BENCH_SHUFFLE_CONTROL_HEALTHY_SECS", str(2.0 * max(1.0, 16.0 / CPUS))))
 # the control ALWAYS reads the 480k corpus (even when SEQ_DOCS scales the
 # suite input) so its absolute seconds stay comparable across runs
 CONTROL_SEQ_PATH = os.path.join(_HERE, "BENCH", "sequences_480000")
