@@ -56,44 +56,62 @@ def asof_join(
     # output names for right value columns (suffix on collision with left)
     val_out = [c if c not in left_cols else f"{c}_right" for c in value_cols]
 
+    # Merged-timestamp layout (r6, guide §2.3 "shuffle fewer bytes"): when
+    # both sides share the left-ts dtype, the RIGHT leg writes its own ts
+    # value into the left ts column and the union sorts on that column
+    # directly — no separate `_ts` double ever materializes, so the entity
+    # exchange and both window sorts carry one fewer 8-byte column per row.
+    # Right rows are dropped by the `_side` filter before projection, so
+    # their value in the left ts column is never observable; ordering is
+    # identical because ts_seconds is monotone and tie-preserving. The
+    # mixed-dtype case keeps the explicit `_ts` sort column.
+    merged = (
+        left_ts not in on
+        and left.schema[left_ts].dataType == right.schema[right_ts].dataType
+    )
     l = left.select(
         *left_cols,
-        ts_seconds(left, left_ts).alias("_ts"),
-        F.lit(None).cast("double").alias("_r_ts"),
+        *([] if merged else [ts_seconds(left, left_ts).alias("_ts")]),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(o)
           for c, o in zip(value_cols, val_out)],
     )
     r = right.select(
         *on,
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
-          for c in left_cols if c not in on],
-        ts_seconds(right, right_ts).alias("_ts"),
-        ts_seconds(right, right_ts).alias("_r_ts"),
+        *[
+            (F.col(right_ts).alias(c) if merged and c == left_ts
+             else F.lit(None).cast(left.schema[c].dataType).alias(c))
+            for c in left_cols if c not in on
+        ],
+        *([] if merged else [ts_seconds(right, right_ts).alias("_ts")]),
         F.lit(0).alias("_side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, val_out)],
     )
     u = l.unionByName(r.select(*l.columns))
 
+    sort_col = left_ts if merged else "_ts"
+    ts_d = ts_seconds(u, sort_col) if merged else F.col("_ts")
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_side")
+        .orderBy(sort_col, "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # carry the matched right row as ONE struct so all value columns come
-    # from the same right row even when some of its values are null
+    # from the same right row even when some of its values are null; the
+    # struct's ts member doubles as the matched right timestamp (for
+    # _side==0 rows the sort column IS the right-side ts)
     payload = F.when(
         F.col("_side") == 0,
-        F.struct(F.col("_r_ts").alias("ts"), *[F.col(o).alias(o) for o in val_out]),
+        F.struct(ts_d.alias("ts"), *[F.col(o).alias(o) for o in val_out]),
     )
     filled = u.select(
-        *[c for c in u.columns if c != "_r_ts" and c not in val_out],
+        *[c for c in u.columns if c not in val_out],
         F.last(payload, ignorenulls=True).over(w).alias("_m"),
     )
     out = filled.filter(F.col("_side") == 1)
     m = F.col("_m")
     if tolerance is not None:
-        fresh = (F.col("_ts") - m["ts"]) <= F.lit(float(tolerance))
+        fresh = (ts_d - m["ts"]) <= F.lit(float(tolerance))
         m = F.when(m.isNotNull() & fresh, m)
     out = out.select(
         *[c for c in out.columns if c not in ("_m", "_side", "_ts")],

@@ -210,127 +210,173 @@ def subflows_interval(
         + [f"`{subflow_col}` int"]
     )
     entity_cols = list(entity_cols)
-    mapper = _make_subflow_mapper(entity_cols, ts_col, interval, thres,
-                                  subflow_col)
+    mapper = _make_subflow_arrow_mapper(entity_cols, ts_col, interval, thres,
+                                        subflow_col)
     base = df if assume_partitioned else df.repartition(*entity_cols)
     ordered = base.sortWithinPartitions(*entity_cols, ts_col, *order_cols)
-    return ordered.mapInPandas(mapper, schema=out_schema)
+    return ordered.mapInArrow(mapper, schema=out_schema)
 
 
-def _make_subflow_mapper(entity_cols, ts_col, interval, thres, subflow_col):
-    """The ``subflows_interval`` batched kernel, factored module-level so
-    the Arrow-batch boundary handling is unit-testable on plain pandas
-    frames (no Spark session). Input contract: frames arrive sorted by
+def _subflow_assign(t: np.ndarray, starts: np.ndarray, interval: float,
+                    thres: int):
+    """Pure-numpy core of the subflows kernel: given one batch's sorted
+    epoch-seconds array ``t`` and the group-start indices ``starts``,
+    return ``(keep, sub)`` — the surviving-row mask and each row's subflow
+    id. Vectorized across every group in the batch; the only Python loop
+    is ``_split_positions`` over groups that contain a candidate gap."""
+    n = len(t)
+    ends = np.append(starts[1:], n)
+    # natural candidates across the whole batch; group heads masked
+    d = np.empty(n, dtype=np.float64)
+    d[0] = 0.0
+    d[1:] = t[1:] - t[:-1]
+    d[starts] = 0.0
+    cand_all = np.flatnonzero(d > interval)
+    split_ind = np.zeros(n, dtype=np.int32)
+    nsplits = np.zeros(len(starts), dtype=np.int64)
+    if len(cand_all):
+        gi_of_cand = np.searchsorted(starts, cand_all, side="right") - 1
+        lo = np.searchsorted(gi_of_cand, np.arange(len(starts)), side="left")
+        hi = np.searchsorted(gi_of_cand, np.arange(len(starts)), side="right")
+        for gi in np.flatnonzero(hi > lo):
+            a, b = int(starts[gi]), int(ends[gi])
+            cand = cand_all[lo[gi]:hi[gi]] - a
+            splits = _split_positions(t[a:b], cand, interval)
+            if splits:
+                split_ind[a + np.asarray(splits, dtype=np.int64)] = 1
+                nsplits[gi] = len(splits)
+    sizes = ends - starts
+    # within-group cumsum of the split indicator = subflow id
+    cs = np.cumsum(split_ind)
+    base = cs[starts] - split_ind[starts]
+    sub = (cs - np.repeat(base, sizes)).astype(np.int32)
+    # trailing-segment discard iff the group split at all
+    ns_rep = np.repeat(nsplits, sizes)
+    keep = ~((ns_rep > 0) & (sub == ns_rep))
+    # min-size filter per (group, subflow) run (runs are contiguous;
+    # discarded trailing rows form complete runs so kept-run sizes
+    # are unaffected)
+    run_head = split_ind.astype(bool).copy()
+    run_head[starts] = True
+    run_id = np.cumsum(run_head) - 1
+    run_sizes = np.bincount(run_id)
+    keep &= run_sizes[run_id] >= thres
+    return keep, sub
+
+
+def _make_subflow_arrow_mapper(entity_cols, ts_col, interval, thres,
+                              subflow_col):
+    """The ``subflows_interval`` batched kernel as a ``mapInArrow``
+    function (r6 rework, guide §4.2). The r4/r5 ``mapInPandas`` form paid
+    the Arrow→pandas→Arrow conversion on EVERY column of every row — at
+    bench scale that materializes ~11M Python string objects per pass for
+    the two id columns alone, all of which the kernel merely passes
+    through. Operating on raw RecordBatches keeps pass-through columns as
+    Arrow buffers end to end: group detection runs on pyarrow compute
+    kernels, the split recurrence on numpy views of the ts column, and
+    row filtering is one ``batch.filter`` (offset rewrite, no object
+    materialization).
+
+    Input contract (unchanged): batches arrive sorted by
     (entity..., ts, order...) and each (entity...) group is contiguous
-    across the frame stream (mapInPandas over an entity-partitioned,
-    within-partition-sorted scan)."""
+    across the batch stream. A group spanning batch boundaries is held as
+    a LIST of zero-copy slices and concatenated ONCE when it closes.
+    Null-safety (ADVICE r4): Arrow nulls AND float NaN keys group
+    together, matching groupBy/sort semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def to_seconds(raw: pd.Series) -> np.ndarray:
-        if pd.api.types.is_datetime64_any_dtype(raw):
+    def na_mask(col: "pa.Array"):
+        m = pc.is_null(col)
+        if pa.types.is_floating(col.type):
+            m = pc.or_(m, pc.fill_null(pc.is_nan(col), False))
+        return m
+
+    def to_seconds(col: "pa.Array") -> np.ndarray:
+        if pa.types.is_timestamp(col.type):
+            unit = col.type.unit
+            scale = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[unit]
             # epoch seconds (wall time as UTC — matches util.ts_seconds)
-            return raw.to_numpy().astype("datetime64[ns]").astype(np.int64) / 1e9
-        return raw.to_numpy(dtype=np.float64)
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False) / scale
+        return col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
 
-    def group_starts_of(pdf: pd.DataFrame) -> np.ndarray:
-        change = np.zeros(len(pdf), dtype=bool)
+    def group_starts_of(batch) -> np.ndarray:
+        n = batch.num_rows
+        change = np.zeros(n, dtype=bool)
         change[0] = True
         for c in entity_cols:
-            k = pdf[c].to_numpy()
-            # null-safe key comparison (ADVICE r4): NaN != NaN is True
-            # elementwise, which would make adjacent null keys singleton
-            # groups — groupBy semantics place all null keys together
-            na = pd.isna(k)
-            diff = np.asarray(k[1:] != k[:-1], dtype=bool)
-            diff &= ~(na[1:] & na[:-1])
-            change[1:] |= diff
+            col = batch.column(batch.schema.get_field_index(c))
+            prev, cur = col.slice(0, n - 1), col.slice(1, n - 1)
+            # null (or NaN) keys group together: differ iff values differ
+            # (null-filled to True for one-sided nulls) and NOT both-NA
+            neq = pc.fill_null(pc.not_equal(cur, prev), True)
+            both_na = pc.and_(na_mask(cur), na_mask(prev))
+            diff = pc.and_(neq, pc.invert(both_na))
+            change[1:] |= diff.to_numpy(zero_copy_only=False)
         return np.flatnonzero(change)
 
-    def same_group(a: pd.DataFrame, b: pd.DataFrame) -> bool:
-        # null-safe: does b's first row continue a's last group?
+    def same_group(a, b) -> bool:
+        # null/NaN-safe: does b's first row continue a's last group?
         for c in entity_cols:
-            x, y = a[c].iloc[-1], b[c].iloc[0]
-            if x != y and not (pd.isna(x) and pd.isna(y)):
+            xa = a.column(a.schema.get_field_index(c))[a.num_rows - 1].as_py()
+            yb = b.column(b.schema.get_field_index(c))[0].as_py()
+            x_na = xa is None or (isinstance(xa, float) and np.isnan(xa))
+            y_na = yb is None or (isinstance(yb, float) and np.isnan(yb))
+            if x_na or y_na:
+                if not (x_na and y_na):
+                    return False
+            elif xa != yb:
                 return False
         return True
 
-    def process(pdf: pd.DataFrame, starts: np.ndarray) -> pd.DataFrame:
-        n = len(pdf)
-        ends = np.append(starts[1:], n)
-        sizes = ends - starts
-        t = to_seconds(pdf[ts_col])
-        # natural candidates across the whole batch; group heads masked
-        d = np.empty(n, dtype=np.float64)
-        d[0] = 0.0
-        d[1:] = t[1:] - t[:-1]
-        d[starts] = 0.0
-        cand_all = np.flatnonzero(d > interval)
-        split_ind = np.zeros(n, dtype=np.int32)
-        nsplits = np.zeros(len(starts), dtype=np.int64)
-        if len(cand_all):
-            gi_of_cand = np.searchsorted(starts, cand_all, side="right") - 1
-            lo = np.searchsorted(gi_of_cand, np.arange(len(starts)), side="left")
-            hi = np.searchsorted(gi_of_cand, np.arange(len(starts)), side="right")
-            for gi in np.flatnonzero(hi > lo):
-                a, b = int(starts[gi]), int(ends[gi])
-                cand = cand_all[lo[gi]:hi[gi]] - a
-                splits = _split_positions(t[a:b], cand, interval)
-                if splits:
-                    split_ind[a + np.asarray(splits, dtype=np.int64)] = 1
-                    nsplits[gi] = len(splits)
-        # within-group cumsum of the split indicator = subflow id
-        cs = np.cumsum(split_ind)
-        base = cs[starts] - split_ind[starts]
-        sub = (cs - np.repeat(base, sizes)).astype(np.int32)
-        # trailing-segment discard iff the group split at all
-        ns_rep = np.repeat(nsplits, sizes)
-        keep = ~((ns_rep > 0) & (sub == ns_rep))
-        # min-size filter per (group, subflow) run (runs are contiguous;
-        # discarded trailing rows form complete runs so kept-run sizes
-        # are unaffected)
-        run_head = split_ind.astype(bool).copy()
-        run_head[starts] = True
-        run_id = np.cumsum(run_head) - 1
-        run_sizes = np.bincount(run_id)
-        keep &= run_sizes[run_id] >= thres
-        out = pdf.iloc[np.flatnonzero(keep)].copy()
-        out[subflow_col] = sub[keep]
-        return out
+    def process(batch, starts: np.ndarray):
+        ts_idx = batch.schema.get_field_index(ts_col)
+        t = to_seconds(batch.column(ts_idx))
+        keep, sub = _subflow_assign(t, starts, interval, thres)
+        out = batch.filter(pa.array(keep))
+        cols = out.columns + [pa.array(sub[keep], type=pa.int32())]
+        return pa.RecordBatch.from_arrays(
+            cols, names=batch.schema.names + [subflow_col]
+        )
 
     def mapper(batches):
         # A group spanning Arrow batch boundaries is held as a LIST of
-        # frames and concatenated ONCE when it closes: a mega-group of m
-        # rows spanning k batches costs O(m) row copies, not the O(m·k)
-        # of re-concat-per-batch (r4 verdict item 4).
-        buf: list = []  # in-order frames of ONE (incomplete) group
+        # zero-copy slices and concatenated ONCE when it closes (r4
+        # verdict item 4: O(m) row copies for an m-row group, not O(m·k)).
+        buf: list = []  # in-order slices of ONE (incomplete) group
         one = np.zeros(1, dtype=np.int64)
 
         def flush():
-            grp = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+            if len(buf) == 1:
+                grp = buf[0]
+            else:
+                tbl = pa.Table.from_batches(buf).combine_chunks()
+                grp = tbl.to_batches()[0] if tbl.num_rows else buf[0]
             return process(grp, one)
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            starts = group_starts_of(pdf)
-            if buf and not same_group(buf[-1], pdf):
+            starts = group_starts_of(batch)
+            if buf and not same_group(buf[-1], batch):
                 yield flush()
                 buf = []
             if len(starts) == 1:
-                buf.append(pdf)  # one group spans the whole batch so far
+                buf.append(batch)  # one group spans the whole batch so far
                 continue
             if buf:
                 # first group of this batch closes the held group
                 cut = int(starts[1])
-                buf.append(pdf.iloc[:cut])
+                buf.append(batch.slice(0, cut))
                 yield flush()
                 buf = []
-                pdf = pdf.iloc[cut:].reset_index(drop=True)
+                batch = batch.slice(cut)
                 starts = starts[1:] - cut
             # hold back the (possibly incomplete) last group
             last = int(starts[-1])
-            buf = [pdf.iloc[last:].reset_index(drop=True)]
+            buf = [batch.slice(last)]
             if last:
-                yield process(pdf.iloc[:last], starts[:-1])
+                yield process(batch.slice(0, last), starts[:-1])
         if buf:
             yield flush()
 

@@ -42,8 +42,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow: every Python-side kernel is a vectorized pandas UDF.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Long token arrays -> keep Arrow batches bounded in memory.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing (r6, guide §4.2): the r1 value of 2048 rows
+        # made every 5M-row kernel pass pay ~2600 per-batch overheads
+        # (mapInArrow slice + kernel dispatch + numpy setup). 8192 rows
+        # amortizes that 4x while the BYTE cap below (Spark 4) keeps
+        # worst-case batches of long token arrays memory-bounded — the
+        # byte cap, not the row cap, is the real safety knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BYTES", str(32 * 1024 * 1024)))
         # AQE: runtime coalesce + skew-join splitting for heavy-hitter keys.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -18,4 +18,12 @@ def ts_seconds(df: DataFrame, ts_col: str) -> Column:
     c = F.col(ts_col)
     if dt.startswith("timestamp"):
         return c.cast("timestamp").cast("double")
+    if dt == "double":
+        # No-op cast elimination (r6): a cast(double as double) survives
+        # analysis long enough that window planning pre-projects the
+        # expression into a duplicate `_w0` column, which then rides the
+        # entity exchange and every sort (~8 bytes/row of pure overhead
+        # on the sessionize/as-of paths). Returning the bare column keeps
+        # lag()/window args as plain attributes — nothing extra shuffles.
+        return c
     return c.cast("double")

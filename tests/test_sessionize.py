@@ -169,14 +169,16 @@ def test_subflows_groups_spanning_arrow_batches(spark):
 
 
 def test_subflow_mapper_batch_boundary_invariance():
-    """Pure-pandas (no Spark): _make_subflow_mapper must produce the SAME
-    rows no matter how the sorted partition stream is chopped into Arrow
-    batches — including batch sizes of 1, groups spanning dozens of
-    batches, and NaN entity keys (null-safe grouping, ADVICE r4)."""
+    """Pure-pyarrow (no Spark): _make_subflow_arrow_mapper must produce
+    the SAME rows no matter how the sorted partition stream is chopped
+    into Arrow record batches — including batch sizes of 1, groups
+    spanning dozens of batches, NaN entity keys AND genuine Arrow nulls
+    (null-safe grouping, ADVICE r4; Arrow rework r6)."""
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
 
-    from netml_spark.operators.sessionize import _make_subflow_mapper
+    from netml_spark.operators.sessionize import _make_subflow_arrow_mapper
 
     rng = np.random.default_rng(5)
     rows = []
@@ -189,23 +191,36 @@ def test_subflow_mapper_batch_boundary_invariance():
     pdf = (pd.DataFrame(rows, columns=["doc_id", "session_id", "ts", "seq"])
            .sort_values(["doc_id", "session_id", "ts", "seq"], na_position="first")
            .reset_index(drop=True))
+    # a second variant where the NaN keys are REAL Arrow nulls
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
 
-    def run(batch_size):
-        mapper = _make_subflow_mapper(["doc_id", "session_id"], "ts",
-                                      50.0, 2, "subflow_id")
-        chunks = [pdf.iloc[i:i + batch_size].reset_index(drop=True)
-                  for i in range(0, len(pdf), batch_size)]
-        outs = [o for o in mapper(iter(chunks)) if len(o)]
-        out = pd.concat(outs, ignore_index=True)
+    def run(batch_size, table):
+        mapper = _make_subflow_arrow_mapper(["doc_id", "session_id"], "ts",
+                                            50.0, 2, "subflow_id")
+        chunks = table.combine_chunks().to_batches(max_chunksize=batch_size)
+        outs = [o for o in mapper(iter(chunks)) if o.num_rows]
+        out = pa.Table.from_batches(outs).to_pandas()
         return (out.sort_values(["doc_id", "session_id", "ts", "seq"],
                                 na_position="first")
                 .reset_index(drop=True))
 
-    base = run(len(pdf))  # single batch: the trusted DuckDB-gated path
+    base = run(len(pdf), tbl)  # single batch: the trusted DuckDB-gated path
     assert len(base) > 0 and base["subflow_id"].max() >= 1
     assert base["doc_id"].isna().any()  # NaN group survived the filter
     for bs in (1, 3, 7, 64):
-        pd.testing.assert_frame_equal(run(bs), base)
+        pd.testing.assert_frame_equal(run(bs, tbl), base)
+    # Arrow-null keys (what Spark actually ships for SQL NULL): the NaN
+    # doubles become nulls; grouping must be identical
+    null_key = pa.array(
+        [None if (v is not None and np.isnan(v)) else v
+         for v in tbl.column("doc_id").to_pylist()],
+        type=pa.float64(),
+    )
+    tbl_null = tbl.set_column(0, "doc_id", null_key)
+    base_null = run(len(pdf), tbl_null)
+    assert base_null["doc_id"].isna().any()
+    for bs in (1, 7, 64):
+        pd.testing.assert_frame_equal(run(bs, tbl_null), base_null)
 
 
 def test_subflows_mega_group_spanning_many_batches(spark):
