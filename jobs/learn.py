@@ -125,7 +125,11 @@ def main(argv=None):
                          .withColumn("label", F.lit(flag_label).cast("int")))
     feats = parts[0]
     for f in parts[1:]:
-        feats = feats.unionByName(f)
+        # allowMissingColumns: inputs may disagree on the optional
+        # 'source' carry column (per-input carry detection) — the
+        # reference's pandas concat tolerates heterogeneous inputs, so
+        # the multi-leg union must too (ADVICE r5)
+        feats = feats.unionByName(f, allowMissingColumns=True)
     label_col = "label" if labeled else None
 
     X, y = ndm.collect_matrix(feats, "features", label_col)

@@ -439,6 +439,11 @@ class Model:
         self.threshold_ = float(
             np.quantile(train_scores, 1.0 - self.contamination)
         )
+        # train-score spread: sets the predict() tolerance scale (ADVICE
+        # r5 — a fixed 1e-9 floor misclassifies genuine anomalies when a
+        # detector's whole score scale is below 1e-9, e.g. near-zero
+        # reconstruction errors)
+        self.score_spread_ = float(np.ptp(train_scores)) if len(train_scores) else 0.0
         self.history["train_time"] = _t.time() - t0
         return self
 
@@ -457,10 +462,16 @@ class Model:
         — and BLAS matmul reduction order varies with batch shape, so the
         same row scored in a different-sized Arrow batch on an executor
         can drift by ~1 ulp and flip a strict `>`. The tolerance (1e-9
-        relative; BLAS drift is ~1e-15 relative, real score gaps are
-        O(1)) makes executor-batch and driver-batch predictions agree,
-        and resolves the exact-tie case to 0 like pyod's strict `>`."""
-        tol = 1e-9 * max(1.0, abs(self.threshold_))
+        relative to the TRAIN-SCORE SPREAD or |threshold|, whichever is
+        larger — ADVICE r5: an absolute floor silently swallowed real
+        anomalies on detectors whose whole score scale is below 1e-9;
+        BLAS drift is ~1e-15 relative, real score gaps are O(spread))
+        makes executor-batch and driver-batch predictions agree, and
+        resolves the exact-tie case to 0 like pyod's strict `>`."""
+        spread = getattr(self, "score_spread_", None)
+        scale = max(abs(self.threshold_),
+                    spread if spread is not None else 1.0)
+        tol = 1e-9 * scale
         return (self.detector.score(X) > self.threshold_ + tol).astype(int)
 
     def save(self, path: str) -> None:

@@ -89,10 +89,17 @@ class FeaturePlan:
         # the placeholders, flagged by self.empty_input.
         self.empty_input = False
 
-        # stage 1: timeout sessionize (parser.py:80-206)
+        # stage 1: timeout sessionize (parser.py:80-206). The per-session
+        # min-size filter is DEFERRED (r6): the subflow min-size filter in
+        # stage 3 subsumes it exactly (same flow_pkts_thres — every
+        # subflow of a < thres session is itself < thres; pinned by the
+        # netml_subflows DuckDB gate), which drops one Sort + one Window
+        # pass from every extract; the stage-2 quantile applies the same
+        # filter post-aggregation (count >= thres per session), so its
+        # input set is unchanged.
         sess = sessionize_timeout(
             events, entity_cols, ts_col, self.timeout, self.flow_pkts_thres,
-            order_cols,
+            order_cols, defer_seg_filter=True,
         )
         sess_keys = entity_cols + ["session_id"]
 
@@ -104,8 +111,9 @@ class FeaturePlan:
 
             ts_d = ts_seconds(sess, ts_col)
             durations = sess.groupBy(*sess_keys).agg(
-                (F.max(ts_d) - F.min(ts_d)).alias("duration")
-            )
+                (F.max(ts_d) - F.min(ts_d)).alias("duration"),
+                F.count(F.lit(1)).alias("_n_seg"),
+            ).filter(F.col("_n_seg") >= self.flow_pkts_thres)
             try:
                 self.split_interval = exact_quantile(
                     durations, "duration", self.q_interval, approx=self.approx_quantiles
@@ -154,7 +162,26 @@ class FeaturePlan:
             feats = seqs.withColumn("features", kernels.iat_size("times", "tokens"))
         elif base == "STATS":
             self.dim = 12
-            sv = stats_vector(subs, flow_keys, ts_col, token_col)
+            # r5 verdict item 1 (r6 fix): deriving the 12-vector from
+            # ``subs`` re-ran the whole sessionize -> subflows chain (a
+            # second full pass over events plus the Python re-split) just
+            # to re-aggregate rows the cached ``seqs`` already holds as
+            # ordered arrays. Explode the CACHED sequences back to event
+            # rows instead: same rows in the same per-partition order
+            # (array order == the subs sort order), so every stats_vector
+            # aggregate — including the order-sensitive float sums and
+            # stddev — accumulates in the identical sequence and the
+            # result is bit-equal; the chain upstream of the cache runs
+            # once (plan property ``stats_branch_no_recompute``).
+            ev = seqs.select(
+                *flow_keys,
+                F.explode(F.arrays_zip("times", "tokens")).alias("_z"),
+            ).select(
+                *flow_keys,
+                F.col("_z.times").alias(ts_col),
+                F.col("_z.tokens").alias(token_col),
+            )
+            sv = stats_vector(ev, flow_keys, ts_col, token_col)
             feats = seqs.join(sv, flow_keys)
         else:  # SAMP_NUM / SAMP_SIZE (rate = duration quantile q=0.3, :801-808)
             self.dim = dim - 1

@@ -198,6 +198,26 @@ def main():
                        str(10 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS plan_audit_sigs")
 
+    # 7. FeaturePlan STATS derives the 12-vector from the CACHED sequences
+    # (r5 verdict item 1 / next-round item 3, fixed r6): the whole STATS
+    # plan reads the events parquet through ONE scan node — living inside
+    # the InMemoryRelation both join branches share. The unfused branch
+    # re-ran scan -> sessionize -> subflows for the stats side, which
+    # shows up as a SECOND distinct scan id.
+    from netml_spark.pipeline import FeaturePlan
+
+    fp = FeaturePlan(feat_type="STATS", interval=300.0)
+    feats = fp.extract(ev, ("user_id",), "ts", "value", ("event_id",),
+                       carry_cols=())
+    p = plan_str(feats)
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    results["featureplan_stats_no_recompute"] = (
+        len(scan_ids) == 1 and "InMemoryTableScan" in p
+    )
+    if not results["featureplan_stats_no_recompute"]:
+        print(f"  (distinct parquet scan ids: {sorted(scan_ids)})")
+    fp.release()
+
     ok = True
     for name, passed in results.items():
         print(f"{'PASS' if passed else 'FAIL'}  {name}")

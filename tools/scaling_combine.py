@@ -30,15 +30,21 @@ NORTH = ("north_asof_features", "sessionize_stats", "seq_kernels", "samp_udf")
 
 def main():
     want_seqs = int(os.environ.get("SCALING_COMBINE_SEQS", "1920000"))
+    # pin the parallelism pair too (ADVICE r5: a future kept pair at the
+    # same corpus but different N->4N, e.g. 8->32, must not be silently
+    # mixed into the per-query minima)
+    want_n = int(os.environ.get("SCALING_COMBINE_N", "4"))
+    want_n4 = int(os.environ.get("SCALING_COMBINE_N4", "16"))
     pairs = []
     with open(JOURNAL) as f:
         for line in f:
             rec = json.loads(line)
-            if rec.get("kept") and rec.get("n_sequences") == want_seqs:
+            if (rec.get("kept") and rec.get("n_sequences") == want_seqs
+                    and rec.get("n") == want_n and rec.get("n4") == want_n4):
                 pairs.append(rec)
     if not pairs:
-        print(f"no kept pairs at n_sequences={want_seqs} in {JOURNAL}",
-              file=sys.stderr)
+        print(f"no kept pairs at n_sequences={want_seqs} "
+              f"n={want_n}->{want_n4} in {JOURNAL}", file=sys.stderr)
         sys.exit(2)
 
     n, n4 = pairs[0]["n"], pairs[0]["n4"]
@@ -67,7 +73,7 @@ def main():
         "suite_at_N": valN, "suite_at_4N": val4N,
         "seq_throughput_efficiency": round(eff_seq, 3),
         "seq_efficiency_vs_machine_ceiling":
-            round(eff_norm, 3) if eff_norm else None,
+            round(eff_norm, 3) if eff_norm is not None else None,
         "total_wall_efficiency": round(eff_total, 3),
         "per_query_efficiency": per_query,
     }))
@@ -88,7 +94,9 @@ def main():
             f"| {stamp} (combined x{len(pairs)}) | {input_tag} | {n}->{n4} | "
             f"{ceiling:.2f}x/4 | {thrN:.0f} | {thr4N:.0f} | {eff_seq:.2f} | "
             f"{valN:.1f}s | {val4N:.1f}s | {eff_total:.2f} |"
-            f" <!-- eff vs machine ceiling: {eff_norm:.2f} -->\n\n"
+            + (f" <!-- eff vs machine ceiling: {eff_norm:.2f} -->"
+               if eff_norm is not None else "")
+            + "\n\n"
         )
         f.write("| query | @N (s) | @4N (s) | raw eff | vs ceiling |\n"
                 "|---|---|---|---|---|\n")
