@@ -102,15 +102,27 @@ def sessionize_timeout(
 
     gap_expr = ts_d - F.lag(ts_d).over(w)
     brk = F.when(gap_expr > F.lit(float(timeout)), F.lit(1)).otherwise(F.lit(0))
+    # Whole-entity pre-filter (step 1). For flow_pkts_thres >= 2 it is
+    # provably subsumed by the segment-size filter (step 5, or its
+    # deferred twin): every surviving row's segment has >= thres rows,
+    # so its entity has >= thres == max(2, thres) rows — dropping the
+    # `_n_entity` count saves one window function + one column through
+    # the whole pipeline (r6). Only thres < 2 (entity bar 2, segment bar
+    # 1) needs the explicit count.
+    need_entity_filter = flow_pkts_thres < 2
+    out = df.withColumn("_brk", brk)
+    if need_entity_filter:
+        out = out.withColumn("_n_entity", F.count(F.lit(1)).over(w_all))
     out = (
-        df.withColumn("_brk", brk)
-        .withColumn("_n_entity", F.count(F.lit(1)).over(w_all))
-        .withColumn(session_col, F.sum("_brk").over(w).cast("int"))
+        out.withColumn(session_col, F.sum("_brk").over(w).cast("int"))
         .withColumn("_max_sid", F.sum("_brk").over(w_all))
-        .filter(F.col("_n_entity") >= max(2, flow_pkts_thres))
+    )
+    if need_entity_filter:
+        out = out.filter(F.col("_n_entity") >= 2).drop("_n_entity")
+    out = (
         # trailing-segment discard iff any split occurred
-        .filter((F.col("_max_sid") == 0) | (F.col(session_col) < F.col("_max_sid")))
-        .drop("_brk", "_n_entity", "_max_sid")
+        out.filter((F.col("_max_sid") == 0) | (F.col(session_col) < F.col("_max_sid")))
+        .drop("_brk", "_max_sid")
     )
     if not defer_seg_filter:
         out = (

@@ -126,6 +126,29 @@ def test_trailing_discard_quirk(spark):
     assert len(got2) == 5
 
 
+def test_sessionize_thres1_keeps_entity_bar(spark):
+    """r6: the whole-entity pre-filter window is elided for thres >= 2
+    (subsumed by the segment filter) but MUST survive for thres < 2,
+    where the entity bar is max(2, thres)=2 while segments only need 1
+    row (reference parser.py:146 vs :197): a single-row entity is
+    dropped even though its segment would pass the size-1 bar."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": ["solo"] + ["multi"] * 3,
+        "ts": [0.0, 0.0, 1.0, 700.0],
+        "seq": [0, 0, 1, 2],
+        "token": [1, 2, 3, 4],
+    })
+    df = spark.createDataFrame(pdf)
+    got = sessionize_timeout(df, ("doc_id",), "ts", 600.0, 1, ("seq",)).toPandas()
+    # 'solo' (1 row < entity bar 2) dropped entirely; 'multi' splits at
+    # the 700s gap, trailing segment discarded, first segment (2 rows,
+    # >= seg bar 1) kept
+    assert sorted(got["doc_id"].unique()) == ["multi"]
+    assert sorted(got["ts"]) == [0.0, 1.0]
+
+
 def test_subflows_groups_spanning_arrow_batches(spark):
     """The batched mapInPandas kernel buffers a group that spans an Arrow
     batch boundary into the next batch. Force pathological batching (5
